@@ -1,0 +1,50 @@
+"""Mixed-precision dtype policy.
+
+TPU-native stance: bf16 activations / gradients with fp32 parameters and
+optimizer state; no loss scaling (bf16 has fp32's exponent range, so the
+reference's CUDA GradScaler machinery — /root/reference/train.py:1615 — is
+dropped, not ported; SURVEY.md §7 "bf16 numerics").
+
+Softmax / layernorm statistics and loss reductions always accumulate in fp32
+("fp32 islands"); the policy only governs tensor storage between ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Storage dtypes for the three tensor classes in a train step."""
+
+    param_dtype: Any = jnp.float32    # master weights
+    compute_dtype: Any = jnp.bfloat16  # activations & weights inside matmuls
+    output_dtype: Any = jnp.float32    # loss / metrics
+
+    def cast_to_compute(self, tree):
+        return _cast_floating(tree, self.compute_dtype)
+
+    def cast_to_param(self, tree):
+        return _cast_floating(tree, self.param_dtype)
+
+    def cast_to_output(self, tree):
+        return _cast_floating(tree, self.output_dtype)
+
+
+def _cast_floating(tree, dtype):
+    import jax
+
+    def leaf(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+DEFAULT_POLICY = Policy()
+FP32_POLICY = Policy(compute_dtype=jnp.float32)

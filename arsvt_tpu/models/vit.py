@@ -1,0 +1,223 @@
+"""ViT / DeiT backbone as a pure-functional pytree model.
+
+One definition serves both of the reference's backbones (it defines
+`VisionTransformer` at /root/reference/evaluation.py:120-157 and the actually
+trained `DataEfficientImageTransformer` at /root/reference/train.py:637-688,
+copy-pasted between files with diverging configs — the duplication disease
+SURVEY.md §7 cures): `distilled=False` gives ViT (CLS token), `distilled=True`
+gives DeiT (CLS + DIST tokens).
+
+TPU-first design decisions vs. the reference:
+  * params are a plain pytree; the 12 encoder blocks are *stacked* along a
+    leading depth axis and applied with `lax.scan` — one trace/compile of the
+    block instead of 12, and mesh partition specs apply uniformly.
+  * NHWC images; patch embedding is a single MXU matmul (`ops.patch_embed`).
+  * pre-LN blocks exactly like the reference (train.py:584-592):
+    ``x += attn(LN1(x)); x += mlp(LN2(x))`` with a final LN.
+  * attention is the dispatching `multi_head_attention` (Pallas flash on
+    TPU). Dropout is applied to the pos-embed, attention output and MLP
+    output (not to attention probabilities — keeps the flash kernel exact;
+    rates default to the reference's 0.1, train.py:1352).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from arsvt_tpu.ops.attention import multi_head_attention
+from arsvt_tpu.ops.layernorm import layer_norm
+from arsvt_tpu.ops.mlp import gelu_mlp
+from arsvt_tpu.ops.patch_embed import patch_embed
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    in_channels: int = 3
+    embed_dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    mlp_dim: int = 768
+    dropout: float = 0.0
+    distilled: bool = False  # DeiT: CLS + DIST tokens (train.py:646-648)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_special_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + self.num_special_tokens
+
+    @property
+    def head_dim(self) -> int:
+        if self.embed_dim % self.num_heads:
+            raise ValueError("embed_dim must divide num_heads")
+        return self.embed_dim // self.num_heads
+
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    # truncated at ±2σ, matching the reference's trunc_normal_(std=.02)
+    # init for tokens/pos-embeds (train.py:661-664).
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _linear_init(key, fan_in, shape, dtype=jnp.float32):
+    # LeCun-normal style for kernels (jnp default for ViT practice).
+    std = (1.0 / fan_in) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def init_backbone(key, cfg: BackboneConfig) -> dict[str, Any]:
+    d, depth = cfg.embed_dim, cfg.depth
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.in_channels
+    keys = jax.random.split(key, 10)
+
+    def stack_linear(k, fan_in, shape):
+        ks = jax.random.split(k, depth)
+        return jnp.stack([_linear_init(ks[i], fan_in, shape) for i in range(depth)])
+
+    params = {
+        "patch_embed": {
+            "kernel": _linear_init(keys[0], patch_dim, (patch_dim, d)),
+            "bias": jnp.zeros((d,)),
+        },
+        "cls_token": _trunc_normal(keys[1], (1, 1, d)),
+        "pos_embed": _trunc_normal(keys[2], (1, cfg.seq_len, d)),
+        "blocks": {
+            "ln1": {"scale": jnp.ones((depth, d)), "bias": jnp.zeros((depth, d))},
+            "attn": {
+                "qkv": {
+                    "kernel": stack_linear(keys[3], d, (d, 3 * d)),
+                    "bias": jnp.zeros((depth, 3 * d)),
+                },
+                "proj": {
+                    "kernel": stack_linear(keys[4], d, (d, d)),
+                    "bias": jnp.zeros((depth, d)),
+                },
+            },
+            "ln2": {"scale": jnp.ones((depth, d)), "bias": jnp.zeros((depth, d))},
+            "mlp": {
+                "fc1": {
+                    "kernel": stack_linear(keys[5], d, (d, cfg.mlp_dim)),
+                    "bias": jnp.zeros((depth, cfg.mlp_dim)),
+                },
+                "fc2": {
+                    "kernel": stack_linear(keys[6], cfg.mlp_dim, (cfg.mlp_dim, d)),
+                    "bias": jnp.zeros((depth, d)),
+                },
+            },
+        },
+        "ln_f": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+    }
+    if cfg.distilled:
+        params["dist_token"] = _trunc_normal(keys[7], (1, 1, d))
+    return params
+
+
+def dropout(x, rate: float, key, *, train: bool):
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
+    """One pre-LN block. bp: per-layer (unstacked) block params."""
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    k1 = k2 = None
+    if train and rng is not None:
+        k1, k2 = jax.random.split(rng)
+
+    y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
+    qkv = (
+        jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype),
+                preferred_element_type=jnp.float32)
+        + bp["attn"]["qkv"]["bias"]
+    ).astype(x.dtype)
+    qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3,B,H,S,hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = multi_head_attention(q, k, v, force_reference=force_reference)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = (
+        jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype),
+                preferred_element_type=jnp.float32)
+        + bp["attn"]["proj"]["bias"]
+    ).astype(x.dtype)
+    x = x + dropout(attn, cfg.dropout, k1, train=train)
+
+    y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
+    y = gelu_mlp(
+        y,
+        bp["mlp"]["fc1"]["kernel"].astype(y.dtype),
+        bp["mlp"]["fc1"]["bias"],
+        bp["mlp"]["fc2"]["kernel"].astype(y.dtype),
+        bp["mlp"]["fc2"]["bias"],
+        force_reference=force_reference,
+    )
+    return x + dropout(y, cfg.dropout, k2, train=train)
+
+
+def apply_backbone(
+    params,
+    images,
+    cfg: BackboneConfig,
+    *,
+    train: bool = False,
+    rng=None,
+    force_reference: bool = False,
+):
+    """images: (B, H, W, C) -> all tokens (B, S, D) after the final LN.
+
+    Like the reference backbones, returns *all* tokens (special + patches);
+    heads decide what to strip (train.py:842, evaluation.py:234).
+    """
+    b = images.shape[0]
+    x = patch_embed(
+        images,
+        params["patch_embed"]["kernel"],
+        params["patch_embed"]["bias"],
+        patch_size=cfg.patch_size,
+    )  # (B, N, D)
+
+    specials = [jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))]
+    if cfg.distilled:
+        specials.append(
+            jnp.broadcast_to(params["dist_token"], (b, 1, cfg.embed_dim))
+        )
+    x = jnp.concatenate(specials + [x], axis=1).astype(x.dtype)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    pos_key = None
+    if train and rng is not None:
+        rng, pos_key = jax.random.split(rng)
+    x = dropout(x, cfg.dropout, pos_key, train=train)
+
+    block_params = params["blocks"]
+
+    def body(carry, xs):
+        x, rng = carry
+        bp, idx = xs
+        layer_rng = None
+        if train and rng is not None:
+            layer_rng = jax.random.fold_in(rng, idx)
+        x = _encoder_block(
+            x, bp, cfg, train=train, rng=layer_rng,
+            force_reference=force_reference,
+        )
+        return (x, rng), None
+
+    idxs = jnp.arange(cfg.depth)
+    (x, _), _ = jax.lax.scan(body, (x, rng), (block_params, idxs))
+    return layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])

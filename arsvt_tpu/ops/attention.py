@@ -1,0 +1,54 @@
+"""Multi-head attention.
+
+Replaces the reference's naive `MultiHeadSelfAttention`
+(/root/reference/train.py:518-555: fused-QKV linear, full S×S softmax
+materialised in HBM, no flash attention) with:
+
+  * `sdpa_reference` — pure-jnp scaled-dot-product attention with fp32
+    softmax accumulation (the numerics oracle), and
+  * a blockwise Pallas flash-attention kernel (`ops/pallas/flash_attention.py`)
+    used automatically on TPU — streaming softmax, S×S scores never leave
+    VMEM.
+
+Supports self-attention (q is k is v) and cross-attention (DETR decoder
+queries over patch tokens, /root/reference/train.py:721).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from arsvt_tpu.ops.dispatch import use_pallas
+
+
+def sdpa_reference(q, k, v, *, mask=None):
+    """Scaled dot-product attention, fp32 softmax island.
+
+    q: (B, H, Sq, d), k/v: (B, H, Sk, d); mask: broadcastable to
+    (B, H, Sq, Sk) with True = attend. Returns (B, H, Sq, d) in q.dtype.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.asarray(-1e30, scores.dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False):
+    """Dispatching SDPA: Pallas flash attention on TPU, jnp reference elsewhere."""
+    if force_reference or not use_pallas():
+        return sdpa_reference(q, k, v, mask=mask)
+    from arsvt_tpu.ops.pallas.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, mask=mask)

@@ -1,0 +1,23 @@
+"""Backend dispatch: Pallas TPU kernels vs. pure-jnp references.
+
+Every compute op in `arsvt_tpu.ops` has a pure-jnp reference implementation
+(the numerics oracle for tests) and, where fusion pays, a Pallas TPU kernel.
+Kernels are used automatically on TPU backends; `ARSVT_DISABLE_PALLAS=1`
+forces the jnp path everywhere (e.g. for CPU-mesh distributed tests), and
+`ARSVT_FORCE_PALLAS=1` forces kernels (interpret mode off-TPU is too slow to
+be a sensible default).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def use_pallas() -> bool:
+    if os.environ.get("ARSVT_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("ARSVT_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"

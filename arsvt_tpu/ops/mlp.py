@@ -1,0 +1,30 @@
+"""GELU MLP block math.
+
+Reference: `MLPBlock` (/root/reference/train.py:558-573) — Linear(D→M) →
+GELU → Linear(M→D). Both GEMMs hit the MXU; GELU rides the VPU and XLA
+fuses it into the first matmul's epilogue. A fully-fused Pallas variant
+(`ops/pallas/fused_mlp.py`) keeps the (S, M) intermediate in VMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from arsvt_tpu.ops.dispatch import use_pallas
+
+
+def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
+    """x: (..., D); w1: (D, M); w2: (M, D). Returns (..., D) in x.dtype."""
+    if not force_reference and use_pallas():
+        from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
+
+        return fused_gelu_mlp(x, w1, b1, w2, b2)
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
+        jnp.float32
+    )
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)

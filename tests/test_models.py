@@ -1,0 +1,119 @@
+"""Model-layer tests: shapes, determinism, DeiT/ViT variants, detector."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arsvt_tpu.models import (
+    apply_backbone,
+    apply_detector,
+    apply_image_classifier,
+    init_backbone,
+    init_detector,
+    init_image_classifier,
+)
+from arsvt_tpu.models.registry import PRESETS, DETECTOR_PRESETS
+
+
+def test_backbone_shapes_vit():
+    cfg = PRESETS["vit_test_8_32"]
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.ones((2, 32, 32, 3))
+    tokens = apply_backbone(params, imgs, cfg)
+    assert tokens.shape == (2, cfg.seq_len, cfg.embed_dim)
+    assert cfg.seq_len == 16 + 1
+
+
+def test_backbone_shapes_deit():
+    cfg = PRESETS["deit_test_8_32"]
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    tokens = apply_backbone(params, jnp.ones((2, 32, 32, 3)), cfg)
+    assert tokens.shape == (2, 16 + 2, cfg.embed_dim)
+    assert "dist_token" in params
+
+
+def test_backbone_deterministic_eval():
+    cfg = PRESETS["vit_test_8_32"]
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    t1 = apply_backbone(params, imgs, cfg)
+    t2 = apply_backbone(params, imgs, cfg)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_dropout_train_vs_eval():
+    cfg = PRESETS["vit_test_8_32"].__class__(
+        **{**PRESETS["vit_test_8_32"].__dict__, "dropout": 0.5}
+    )
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    te = apply_backbone(params, imgs, cfg, train=False)
+    tt = apply_backbone(params, imgs, cfg, train=True, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(te), np.asarray(tt))
+    # same key -> same output
+    tt2 = apply_backbone(params, imgs, cfg, train=True, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(tt), np.asarray(tt2))
+
+
+def test_classifier_end_to_end():
+    cfg = PRESETS["vit_test_8_32"]
+    params = init_image_classifier(jax.random.PRNGKey(0), cfg, num_classes=6)
+    logits = apply_image_classifier(params, jnp.ones((3, 32, 32, 3)), cfg, 6)
+    assert logits.shape == (3, 6)
+    assert logits.dtype == jnp.float32
+
+
+def test_classifier_jit_and_bf16():
+    cfg = PRESETS["deit_test_8_32"]
+    params = init_image_classifier(jax.random.PRNGKey(0), cfg, num_classes=6)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    @jax.jit
+    def f(p, x):
+        return apply_image_classifier(p, x.astype(jnp.bfloat16), cfg, 6)
+
+    logits = f(params, imgs)
+    assert logits.shape == (2, 6)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_detector_outputs():
+    cfg = DETECTOR_PRESETS["detector_test"]
+    params = init_detector(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = apply_detector(params, imgs, cfg)
+    assert out["class_logits"].shape == (2, 5, 7)  # 6 classes + background
+    assert out["boxes_cxcywh"].shape == (2, 5, 4)
+    boxes = np.asarray(out["boxes_cxcywh"])
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+
+
+def test_detector_triplet_features():
+    cfg = DETECTOR_PRESETS["detector_test"]
+    params = init_detector(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out, feats = apply_detector(params, imgs, cfg, return_features=True)
+    assert feats.shape == (2, cfg.triplet_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_grads_flow():
+    cfg = PRESETS["vit_test_8_32"]
+    params = init_image_classifier(jax.random.PRNGKey(0), cfg, num_classes=6)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    labels = jnp.array([0, 3])
+
+    def loss_fn(p):
+        logits = apply_image_classifier(p, imgs, cfg, 6)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(logp[jnp.arange(2), labels])
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.square(x)), grads, 0.0
+    )
+    assert float(gnorm) > 0
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
