@@ -1,0 +1,116 @@
+"""Classification evaluation + the streaming sorter loop.
+
+North-star metric surface (BASELINE.json): top-1 accuracy, per-class
+accuracy, confusion matrix on the 6-class taxonomy; and a streaming
+single-image classify path with a p50 latency meter for the physical
+sorter loop (config #5: "JPEG decode→preprocess→classify single-image
+pipeline").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+from arsvt_tpu.models.classifier import apply_image_classifier
+from arsvt_tpu.objectives.classification import confusion_matrix
+
+
+def evaluate_classifier(
+    params, batches: Iterator[dict], backbone_cfg, num_classes: int,
+    *, compute_dtype=jnp.bfloat16,
+) -> dict:
+    """Full eval sweep -> {top1, per_class_accuracy, confusion_matrix, n}."""
+
+    @jax.jit
+    def step(params, images, labels):
+        logits = apply_image_classifier(
+            params, images.astype(compute_dtype), backbone_cfg, num_classes
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        return (
+            jnp.sum((preds == labels).astype(jnp.int32)),
+            confusion_matrix(preds, labels, num_classes),
+        )
+
+    correct, total = 0, 0
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    for batch in batches:
+        c, cm = step(params, batch["image"], batch["label"])
+        correct += int(c)
+        total += int(batch["label"].shape[0])
+        conf += np.asarray(cm)
+    per_class = {}
+    for i, name in enumerate(RECYCLING_CLASSES[:num_classes]):
+        row = conf[i].sum()
+        per_class[name] = float(conf[i, i] / row) if row else float("nan")
+    return {
+        "top1": correct / total if total else float("nan"),
+        "per_class_accuracy": per_class,
+        "confusion_matrix": conf.tolist(),
+        "n": total,
+    }
+
+
+class StreamingClassifier:
+    """Single-image classify path for the physical sorter loop.
+
+    Pre-compiles a batch-1 forward; `__call__` takes one HWC uint8/float
+    image and returns (class_index, class_name, probs). Tracks latency for
+    the p50 metric.
+    """
+
+    def __init__(self, params, backbone_cfg, num_classes: int,
+                 *, compute_dtype=jnp.bfloat16, preprocess=None):
+        self._cfg = backbone_cfg
+        self._n = num_classes
+        self._preprocess = preprocess
+        self._latencies: list[float] = []
+
+        @jax.jit
+        def infer(params, image):
+            logits = apply_image_classifier(
+                params, image[None].astype(compute_dtype),
+                backbone_cfg, num_classes,
+            )
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32))
+            return jnp.argmax(probs), probs
+
+        self._infer = infer
+        self._params = params
+        # warm up compile so first real frame is not a 20s outlier
+        dummy = jnp.zeros(
+            (backbone_cfg.image_size, backbone_cfg.image_size, 3), jnp.float32
+        )
+        jax.block_until_ready(self._infer(params, dummy))
+
+    def __call__(self, image) -> tuple[int, str, np.ndarray]:
+        t0 = time.perf_counter()
+        if self._preprocess is not None:
+            image = self._preprocess(image)
+        idx, probs = self._infer(self._params, jnp.asarray(image))
+        idx = int(idx)
+        probs = np.asarray(probs)
+        self._latencies.append(time.perf_counter() - t0)
+        name = (
+            RECYCLING_CLASSES[idx]
+            if idx < len(RECYCLING_CLASSES)
+            else str(idx)
+        )
+        return idx, name, probs
+
+    def latency_stats(self) -> dict:
+        if not self._latencies:
+            return {}
+        lat = np.asarray(self._latencies) * 1e3
+        return {
+            "p50_ms": float(np.percentile(lat, 50)),
+            "p90_ms": float(np.percentile(lat, 90)),
+            "p99_ms": float(np.percentile(lat, 99)),
+            "n": int(lat.size),
+        }

@@ -1,0 +1,106 @@
+"""Config-bound orbax checkpointing with resume.
+
+Fixes two reference defects (SURVEY.md §5):
+  * no resume path existed — optimizer state was saved but never loaded
+    (/root/reference/train.py:1647-1654);
+  * eval could silently load a checkpoint into a *different* architecture via
+    `strict=False` (evaluation.py:375-391).
+Here every checkpoint carries the full `TrainConfig` JSON; `restore` refuses
+to load into a mismatched model config unless explicitly overridden, and
+restores params + optimizer state + step + the data-order epoch seed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from arsvt_tpu.train.config import TrainConfig
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, cfg: TrainConfig, *, keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._cfg = cfg
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: dict, *, metrics: dict | None = None):
+        self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                config=ocp.args.JsonSave({"train_config": self._cfg.to_json()}),
+            ),
+            metrics=metrics,
+        )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    @property
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: dict, *, step: int | None = None,
+                strict_config: bool = True) -> tuple[dict, TrainConfig]:
+        """Restore into the structure of `state_like` (shapes/shardings)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        # config first — refuse a mismatched architecture BEFORE touching the
+        # state tree (orbax would otherwise fail with an opaque structure
+        # error, or worse, partially restore)
+        cfg_only = self._mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )
+        saved_cfg = TrainConfig.from_json(cfg_only["config"]["train_config"])
+        if strict_config:
+            mismatches = _model_config_mismatches(saved_cfg, self._cfg)
+            if mismatches:
+                raise ValueError(
+                    "checkpoint was trained with a different model config "
+                    f"({mismatches}); pass strict_config=False to override "
+                    "(the reference's silent strict=False loading is the bug "
+                    "this guards against)"
+                )
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_like),
+            ),
+        )
+        return restored["state"], saved_cfg
+
+    def close(self):
+        self._mgr.close()
+
+
+_MODEL_FIELDS = ("preset", "task", "num_classes", "image_size")
+
+
+def _model_config_mismatches(a: TrainConfig, b: TrainConfig) -> dict[str, Any]:
+    return {
+        f: (getattr(a, f), getattr(b, f))
+        for f in _MODEL_FIELDS
+        if getattr(a, f) != getattr(b, f)
+    }
+
+
+def load_for_eval(directory: str, cfg: TrainConfig, state_like: dict,
+                  *, step: int | None = None):
+    """Eval-side loader: restore params bound to their training config."""
+    mgr = CheckpointManager(directory, cfg)
+    try:
+        state, saved_cfg = mgr.restore(state_like, step=step)
+    finally:
+        mgr.close()
+    return state, saved_cfg

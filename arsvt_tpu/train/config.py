@@ -1,0 +1,135 @@
+"""One config to rule train *and* eval.
+
+The reference hardcodes two diverging config surfaces
+(/root/reference/train.py:1343-1392 vs evaluation.py:527-541) with personal
+filesystem paths and a leftover API-key field; evaluation silently runs a
+different architecture than was trained (SURVEY.md §3.4). Here: a single
+serializable dataclass, embedded into every checkpoint and read back at
+eval/resume, plus CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+from arsvt_tpu.models.vit import BackboneConfig
+from arsvt_tpu.models.heads import DetrHeadConfig
+from arsvt_tpu.models.detector import DetectorConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model
+    preset: str = "vit_tiny_16_224"          # models/registry.py key
+    task: str = "classify"                   # "classify" | "detect"
+    num_classes: int = 6                     # recycling taxonomy
+    # data
+    data_dir: str = ""                       # COCO-format root ("" = synthetic)
+    batch_size: int = 512                    # global batch (train.py:1356 was 32)
+    image_size: int = 0                      # 0 = preset default
+    # optimization (reference: AdamW 1e-4 / wd 1e-4, train.py:1358-1360)
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip_norm: float = 1.0
+    schedule: str = "cosine"                 # "cosine" | "constant" | "plateau"
+    warmup_steps: int = 500
+    total_steps: int = 10_000
+    min_lr_ratio: float = 1e-3
+    # plateau schedule (reference ReduceLROnPlateau, train.py:1363-1367)
+    plateau_factor: float = 0.7
+    plateau_patience: int = 1
+    plateau_min_lr: float = 1e-7
+    # regularisation
+    label_smoothing: float = 0.0
+    mixup_alpha: float = 0.0                 # 0 = off
+    # precision / parallelism
+    bf16: bool = True
+    mesh_data: int = -1
+    mesh_model: int = 1
+    remat: bool = False                      # jax.checkpoint the encoder blocks
+    # bookkeeping
+    seed: int = 0
+    log_every: int = 100                     # wandb cadence parity (train.py:1470)
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    # detection loss weights (train.py:1375-1380)
+    w_ce: float = 1.0
+    w_bbox: float = 5.0
+    w_giou: float = 2.0
+    w_triplet: float = 0.6
+    background_weight: float = 0.1           # train.py:1215-1217
+    triplet_margin: float = 0.3              # train.py:1370
+    max_objects: int = 25                    # padded targets per image
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True, indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TrainConfig":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def with_overrides(self, **kwargs: Any) -> "TrainConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def resolve_backbone(cfg: TrainConfig) -> BackboneConfig:
+    from arsvt_tpu.models.registry import get_preset
+
+    bb = get_preset(cfg.preset)
+    if cfg.image_size and cfg.image_size != bb.image_size:
+        bb = dataclasses.replace(bb, image_size=cfg.image_size)
+    return bb
+
+
+def resolve_detector(cfg: TrainConfig) -> DetectorConfig:
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS, get_preset
+
+    if cfg.preset in DETECTOR_PRESETS:
+        det = DETECTOR_PRESETS[cfg.preset]
+    else:
+        det = DetectorConfig(
+            backbone=get_preset(cfg.preset),
+            head=DetrHeadConfig(num_classes=cfg.num_classes),
+        )
+    if det.head.num_classes != cfg.num_classes:
+        det = dataclasses.replace(
+            det,
+            head=dataclasses.replace(det.head, num_classes=cfg.num_classes),
+        )
+    return det
+
+
+# Named train presets mirroring BASELINE.json's config matrix.
+TRAIN_PRESETS: dict[str, TrainConfig] = {
+    "smoke": TrainConfig(
+        preset="vit_test_8_32", batch_size=16, total_steps=30,
+        warmup_steps=5, log_every=10, eval_every=10**9,
+        checkpoint_every=10**9, bf16=False,
+    ),
+    "vit_tiny_eval": TrainConfig(preset="vit_tiny_16_224", batch_size=8),
+    "vit_base_finetune": TrainConfig(
+        preset="vit_base_16_224", batch_size=512, learning_rate=3e-4,
+        warmup_steps=500, total_steps=20_000, label_smoothing=0.1,
+    ),
+    "vit_base_bf16_flash": TrainConfig(
+        preset="vit_base_16_224", batch_size=512, bf16=True,
+    ),
+    "vit_large_384": TrainConfig(
+        preset="vit_large_16_384", batch_size=256, mixup_alpha=0.2,
+        label_smoothing=0.1, remat=True,
+    ),
+    # the reference's own detector training config (train.py:1345-1392)
+    "deit_detector_ref": TrainConfig(
+        preset="deit_detector_ref", task="detect", batch_size=32,
+        learning_rate=1e-4, weight_decay=1e-4, schedule="plateau",
+        max_objects=25,
+    ),
+}

@@ -1,0 +1,148 @@
+"""Training loop: the L4 engine (SURVEY.md §1), rebuilt TPU-first.
+
+vs the reference's `main()` + `train_one_epoch` (/root/reference/train.py:
+1507-1670): one jitted step, batches arrive already sharded over the data
+axis, device metrics are fetched only at log cadence (no per-step
+`losses.item()` sync — train.py:1462), checkpoint/resume actually works,
+and the plateau scheduler is explicit functional state.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from arsvt_tpu.parallel.mesh import MeshConfig, make_mesh
+from arsvt_tpu.parallel.sharding import shard_batch
+from arsvt_tpu.train.checkpoint import CheckpointManager
+from arsvt_tpu.train.config import TrainConfig
+from arsvt_tpu.train.optim import PlateauState, set_lr_scale
+from arsvt_tpu.train.train_step import make_classifier_step_fns
+from arsvt_tpu.utils.logging import MetricLogger, Throughput
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        *,
+        mesh=None,
+        logger: MetricLogger | None = None,
+        step_fns=None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh(
+            MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model)
+        )
+        if step_fns is None:
+            step_fns = make_classifier_step_fns(cfg, self.mesh)
+        self.init_fn, self.train_step, self.eval_step = step_fns
+        self.logger = logger or MetricLogger(quiet=True)
+        self.base_rng = jax.random.PRNGKey(cfg.seed)
+        self.state = None
+        self.plateau = PlateauState()
+        self._ckpt = None
+
+    # ------------------------------------------------------------- state
+    def init_state(self):
+        self.state = self.init_fn(jax.random.fold_in(self.base_rng, 0xA11))
+        return self.state
+
+    @property
+    def ckpt(self) -> CheckpointManager:
+        if self._ckpt is None:
+            self._ckpt = CheckpointManager(
+                self.cfg.checkpoint_dir, self.cfg,
+                keep=self.cfg.keep_checkpoints,
+            )
+        return self._ckpt
+
+    def maybe_resume(self) -> int:
+        """Restore the latest checkpoint if one exists; returns start step."""
+        if self.state is None:
+            self.init_state()
+        try:
+            latest = self.ckpt.latest_step
+        except FileNotFoundError:
+            return 0
+        if latest is None:
+            return 0
+        self.state, _ = self.ckpt.restore(self.state)
+        return int(self.state["step"])
+
+    # -------------------------------------------------------------- loop
+    def fit(
+        self,
+        train_batches: Iterator[dict],
+        *,
+        eval_batches_fn: Callable[[], Iterator[dict]] | None = None,
+        steps: int | None = None,
+    ):
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        steps = steps if steps is not None else cfg.total_steps
+        start = int(self.state["step"])
+        meter = Throughput()
+        last_metrics = {}
+
+        for step in range(start, steps):
+            batch = next(train_batches)
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(
+                self.state, batch, self.base_rng
+            )
+            meter.add(int(batch["image"].shape[0]))
+
+            if (step + 1) % cfg.log_every == 0 or step + 1 == steps:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["images_per_sec"] = meter.rate()
+                self.logger.log(step + 1, host, prefix="train/")
+                last_metrics = host
+                meter.reset()
+
+            if eval_batches_fn and (step + 1) % cfg.eval_every == 0:
+                eval_metrics = self.evaluate(eval_batches_fn())
+                self.logger.log(step + 1, eval_metrics, prefix="val/")
+                if cfg.schedule == "plateau":
+                    self.plateau = self.plateau.update(
+                        eval_metrics["loss"], cfg
+                    )
+                    set_lr_scale(self.state["opt_state"], self.plateau.scale)
+
+            ckpt_enabled = cfg.checkpoint_every <= steps
+            if ckpt_enabled and (
+                (step + 1) % cfg.checkpoint_every == 0 or step + 1 == steps
+            ):
+                # device_get: the async save must not race the next step's
+                # donated buffers
+                self.ckpt.save(step + 1, jax.device_get(self.state))
+
+        if self._ckpt is not None:
+            self._ckpt.wait()
+        return last_metrics
+
+    # -------------------------------------------------------------- eval
+    def evaluate(self, batches: Iterator[dict]) -> dict:
+        total_loss, total_correct, total_count = 0.0, 0, 0
+        confusion = None
+        n_batches = 0
+        for batch in batches:
+            batch = shard_batch(batch, self.mesh)
+            m = self.eval_step(self.state["params"], batch)
+            total_loss += float(m["loss"])
+            total_correct += int(m["correct"])
+            total_count += int(m["count"])
+            c = np.asarray(m["confusion"])
+            confusion = c if confusion is None else confusion + c
+            n_batches += 1
+        if total_count == 0:
+            return {"loss": float("nan"), "accuracy": 0.0}
+        return {
+            "loss": total_loss / max(n_batches, 1),
+            "accuracy": total_correct / total_count,
+            "confusion": confusion.tolist(),
+        }

@@ -1,0 +1,136 @@
+"""Integration: end-to-end classification slice (SURVEY.md §4).
+
+Train a tiny ViT on synthetic separable data over the fake 8-device CPU
+mesh, checkpoint, resume, evaluate.
+"""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+from arsvt_tpu.data.synthetic import synthetic_classification_batches
+from arsvt_tpu.parallel.mesh import MeshConfig, make_mesh
+from arsvt_tpu.parallel.sharding import shard_batch, shard_params
+from arsvt_tpu.train.config import TRAIN_PRESETS
+from arsvt_tpu.train.train_step import make_classifier_step_fns
+from arsvt_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    return make_mesh(MeshConfig(), platform="cpu")
+
+
+def test_train_reduces_loss_and_checkpoints(tmp_path, cpu_mesh):
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=24,
+        checkpoint_every=12,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        eval_every=10**9,
+        log_every=8,
+    )
+    tr = Trainer(cfg, mesh=cpu_mesh)
+    batches = synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0
+    )
+    first_batch = shard_batch(next(batches), cpu_mesh)
+    tr.init_state()
+    _, first_metrics = tr.train_step(
+        {k: v for k, v in tr.state.items()}, first_batch, tr.base_rng
+    )
+    first_loss = float(first_metrics["loss"])
+
+    tr.init_state()  # fresh state (previous was donated)
+    last = tr.fit(batches)
+    assert last["loss"] < first_loss
+
+    # resume restores exact step and equivalent eval numbers
+    def eval_batches():
+        return itertools.islice(
+            synthetic_classification_batches(
+                batch_size=cfg.batch_size, image_size=32, seed=9
+            ),
+            2,
+        )
+
+    e1 = tr.evaluate(eval_batches())
+    tr2 = Trainer(cfg, mesh=cpu_mesh)
+    assert tr2.maybe_resume() == 24
+    e2 = tr2.evaluate(eval_batches())
+    assert e1["accuracy"] == e2["accuracy"]
+    np.testing.assert_allclose(e1["loss"], e2["loss"], rtol=1e-6)
+
+
+def test_checkpoint_config_mismatch_rejected(tmp_path, cpu_mesh):
+    from arsvt_tpu.train.checkpoint import CheckpointManager
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=2, checkpoint_every=2,
+        checkpoint_dir=str(tmp_path / "ckpt2"), log_every=10**9,
+    )
+    tr = Trainer(cfg, mesh=cpu_mesh)
+    tr.fit(
+        synthetic_classification_batches(
+            batch_size=cfg.batch_size, image_size=32, seed=0
+        )
+    )
+    # a different architecture must refuse the checkpoint (the reference's
+    # silent strict=False bug, SURVEY.md §3.4)
+    bad_cfg = cfg.with_overrides(preset="deit_test_8_32")
+    bad_tr = Trainer(bad_cfg, mesh=cpu_mesh)
+    bad_tr.init_state()
+    mgr = CheckpointManager(bad_cfg.checkpoint_dir, bad_cfg)
+    with pytest.raises(ValueError, match="different model config"):
+        mgr.restore(bad_tr.state)
+    mgr.close()
+
+
+def test_dp_grad_equivalence(cpu_mesh):
+    """pmean-over-mesh == single-device large batch (SURVEY.md §4)."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False)
+    init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh=None)
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=3)
+    )
+    rng = jax.random.PRNGKey(0)
+
+    state1 = init_fn(jax.random.fold_in(rng, 0xA11))
+    state1, m1 = train_step(state1, batch, rng)
+
+    init_fn2, train_step2, _ = make_classifier_step_fns(cfg, mesh=cpu_mesh)
+    state2 = init_fn2(jax.random.fold_in(rng, 0xA11))
+    sharded = shard_batch(batch, cpu_mesh)
+    state2, m2 = train_step2(state2, sharded, rng)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    p1 = jax.tree_util.tree_leaves(state1["params"])
+    p2 = jax.tree_util.tree_leaves(state2["params"])
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="DP-sharded update differs from single-device update",
+        )
+
+
+def test_streaming_classifier():
+    from arsvt_tpu.evaluation.classify import StreamingClassifier
+    from arsvt_tpu.models.classifier import init_image_classifier
+    from arsvt_tpu.models.registry import get_preset
+    import jax.numpy as jnp
+
+    cfg = get_preset("vit_test_8_32")
+    params = init_image_classifier(jax.random.PRNGKey(0), cfg, 6)
+    clf = StreamingClassifier(params, cfg, 6, compute_dtype=jnp.float32)
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    idx, name, probs = clf(img)
+    assert 0 <= idx < 6
+    assert name in (
+        "glass", "paper", "cardboard", "plastic", "metal", "trash"
+    )
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
+    stats = clf.latency_stats()
+    assert stats["n"] == 1 and stats["p50_ms"] > 0
