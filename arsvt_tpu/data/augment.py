@@ -1,0 +1,416 @@
+"""On-device image augmentation — jitted, PRNG-keyed, bbox-tracking.
+
+TPU-native replacement for the reference's albumentations pipelines
+(/root/reference/train.py:387-489, evaluation.py:360-366), which ran OpenCV
+C++ on 16 fork'd CPU workers. Here every op is pure jnp on fp32 [0,1] HWC
+images with static shapes, vmapped over the batch and fused by XLA into the
+preprocessing stage that feeds HBM-resident batches (BASELINE.json
+north-star). Boxes are normalized x1y1x2y2 + validity masks; geometric ops
+update both, replacing albumentations' BboxParams(min_area=1.0,
+min_visibility=0.1) refiltering (train.py:444-446,166-195) with mask updates.
+
+Train-pipeline parity (train.py:387-443):
+  LongestMaxSize+PadIfNeeded (host, see pipeline.py) → RandomShadow →
+  HorizontalFlip(.5) → Affine(scale .95-1.05, translate ±5%, rotate ±45°,
+  shear ±15°) → ColorJitter(p=.6) → CoarseDropout(p=.25) → Normalize →
+  (tensor layout is already NHWC).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ------------------------------------------------------------ photometric
+
+
+def normalize(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    mean = jnp.asarray(mean, image.dtype)
+    std = jnp.asarray(std, image.dtype)
+    return (image - mean) / std
+
+
+def denormalize(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    mean = jnp.asarray(mean, image.dtype)
+    std = jnp.asarray(std, image.dtype)
+    return image * std + mean
+
+
+def adjust_brightness(image, factor):
+    return image * factor
+
+
+def adjust_contrast(image, factor):
+    mean = jnp.mean(image, axis=(-3, -2, -1), keepdims=True)
+    return (image - mean) * factor + mean
+
+
+def adjust_saturation(image, factor):
+    gray = jnp.mean(image, axis=-1, keepdims=True)
+    return gray + (image - gray) * factor
+
+
+def adjust_hue(image, radians):
+    """Hue rotation via the classic RGB rotation matrix (gray-axis rotation)."""
+    c, s = jnp.cos(radians), jnp.sin(radians)
+    m = jnp.stack(
+        [
+            jnp.stack([0.299 + 0.701 * c + 0.168 * s,
+                       0.587 - 0.587 * c + 0.330 * s,
+                       0.114 - 0.114 * c - 0.497 * s]),
+            jnp.stack([0.299 - 0.299 * c - 0.328 * s,
+                       0.587 + 0.413 * c + 0.035 * s,
+                       0.114 - 0.114 * c + 0.292 * s]),
+            jnp.stack([0.299 - 0.300 * c + 1.250 * s,
+                       0.587 - 0.588 * c - 1.050 * s,
+                       0.114 + 0.886 * c - 0.203 * s]),
+        ]
+    ).astype(image.dtype)
+    return jnp.einsum("...c,kc->...k", image, m)
+
+
+def color_jitter(key, image, *, brightness=0.2, contrast=0.2, saturation=0.2,
+                 hue=0.2, p=1.0):
+    """albumentations-style ColorJitter (train.py:432 uses p=0.6)."""
+    kp, kb, kc, ks, kh = jax.random.split(key, 5)
+    b = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
+    c = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
+    s = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
+    h = jax.random.uniform(kh, (), minval=-hue, maxval=hue) * jnp.pi
+    out = adjust_brightness(image, b)
+    out = adjust_contrast(out, c)
+    out = adjust_saturation(out, s)
+    out = adjust_hue(out, h)
+    out = jnp.clip(out, 0.0, 1.0)
+    apply = jax.random.bernoulli(kp, p)
+    return jnp.where(apply, out, image)
+
+
+def random_shadow(key, image, *, p=0.5, intensity=(0.4, 0.7)):
+    """Darken one side of a random line (RandomShadow, train.py:400)."""
+    h, w, _ = image.shape
+    kp, ka, ko, ki = jax.random.split(key, 4)
+    angle = jax.random.uniform(ka, (), minval=0.0, maxval=jnp.pi)
+    offset = jax.random.uniform(ko, (), minval=0.2, maxval=0.8)
+    factor = jax.random.uniform(
+        ki, (), minval=intensity[0], maxval=intensity[1]
+    )
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
+    side = (
+        (xx - 0.5) * jnp.cos(angle) + (yy - offset) * jnp.sin(angle)
+    ) > 0.0
+    shade = jnp.where(side[..., None], image * factor, image)
+    apply = jax.random.bernoulli(kp, p)
+    return jnp.where(apply, shade, image)
+
+
+def coarse_dropout(key, image, *, p=0.25, max_holes=8, max_size=8):
+    """Zero out up to `max_holes` small rectangles (train.py:434-441)."""
+    h, w, _ = image.shape
+    kp, kn, ky, kx, ksize = jax.random.split(key, 5)
+    n = jax.random.randint(kn, (), 1, max_holes + 1)
+    ys = jax.random.randint(ky, (max_holes,), 0, max(h - max_size, 1))
+    xs = jax.random.randint(kx, (max_holes,), 0, max(w - max_size, 1))
+    sizes = jax.random.randint(ksize, (max_holes, 2), max_size // 2,
+                               max_size + 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    drop = jnp.zeros((h, w), bool)
+    for i in range(max_holes):
+        inside = (
+            (yy >= ys[i]) & (yy < ys[i] + sizes[i, 0])
+            & (xx >= xs[i]) & (xx < xs[i] + sizes[i, 1])
+            & (i < n)
+        )
+        drop = drop | inside
+    out = jnp.where(drop[..., None], 0.0, image)
+    apply = jax.random.bernoulli(kp, p)
+    return jnp.where(apply, out, image)
+
+
+# -------------------------------------------------------------- geometric
+
+
+def random_horizontal_flip(key, image, boxes=None, *, p=0.5):
+    flip = jax.random.bernoulli(key, p)
+    out = jnp.where(flip, image[:, ::-1], image)
+    if boxes is None:
+        return out
+    x1, y1, x2, y2 = jnp.split(boxes, 4, axis=-1)
+    flipped = jnp.concatenate([1.0 - x2, y1, 1.0 - x1, y2], axis=-1)
+    return out, jnp.where(flip, flipped, boxes)
+
+
+def _affine_matrix(key, h, w, *, degrees, scale, translate, shear):
+    """Forward pixel-space transform (input px -> output px), center-origin."""
+    ka, ks, kt, ksh = jax.random.split(key, 4)
+    theta = jnp.deg2rad(
+        jax.random.uniform(ka, (), minval=-degrees, maxval=degrees)
+    )
+    s = jax.random.uniform(ks, (), minval=scale[0], maxval=scale[1])
+    t = jax.random.uniform(kt, (2,), minval=-translate, maxval=translate)
+    sh = jnp.deg2rad(
+        jax.random.uniform(ksh, (2,), minval=-shear, maxval=shear)
+    )
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    rot = rot.at[0, 0].set(cos).at[0, 1].set(-sin)
+    rot = rot.at[1, 0].set(sin).at[1, 1].set(cos)
+    shear_m = jnp.eye(3)
+    shear_m = shear_m.at[0, 1].set(jnp.tan(sh[0]))
+    shear_m = shear_m.at[1, 0].set(jnp.tan(sh[1]))
+    scale_m = jnp.eye(3) * jnp.array([s, s, 1.0])
+    trans = jnp.eye(3).at[0, 2].set(t[0] * w).at[1, 2].set(t[1] * h)
+    center = jnp.eye(3).at[0, 2].set(w / 2.0).at[1, 2].set(h / 2.0)
+    uncenter = jnp.eye(3).at[0, 2].set(-w / 2.0).at[1, 2].set(-h / 2.0)
+    return center @ trans @ rot @ shear_m @ scale_m @ uncenter
+
+
+def _bilinear_warp(image, inv_matrix):
+    """Sample image at inv_matrix @ output coords; zeros outside."""
+    h, w, c = image.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ones = jnp.ones_like(xx)
+    coords = jnp.stack([xx, yy, ones], axis=0).reshape(3, -1)
+    src = inv_matrix @ coords
+    sx, sy = src[0], src[1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[:, None]
+    wy = (sy - y0)[:, None]
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = image[yi_c, xi_c]  # (HW, C)
+        return jnp.where(valid[:, None], vals, 0.0)
+
+    out = (
+        gather(y0, x0) * (1 - wy) * (1 - wx)
+        + gather(y0, x0 + 1) * (1 - wy) * wx
+        + gather(y0 + 1, x0) * wy * (1 - wx)
+        + gather(y0 + 1, x0 + 1) * wy * wx
+    )
+    return out.reshape(h, w, c)
+
+
+def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px):
+    """Forward-transform normalized boxes; AABB, clip, update validity."""
+    px = boxes * jnp.array([w, h, w, h], boxes.dtype)
+    x1, y1, x2, y2 = px[:, 0], px[:, 1], px[:, 2], px[:, 3]
+    corners = jnp.stack(
+        [
+            jnp.stack([x1, y1], -1), jnp.stack([x2, y1], -1),
+            jnp.stack([x1, y2], -1), jnp.stack([x2, y2], -1),
+        ],
+        axis=1,
+    )  # (M, 4, 2)
+    ones = jnp.ones(corners.shape[:2] + (1,), corners.dtype)
+    hom = jnp.concatenate([corners, ones], axis=-1)  # (M,4,3)
+    new = jnp.einsum("ij,mkj->mki", fwd, hom)[..., :2]
+    nx1 = jnp.min(new[..., 0], axis=1)
+    ny1 = jnp.min(new[..., 1], axis=1)
+    nx2 = jnp.max(new[..., 0], axis=1)
+    ny2 = jnp.max(new[..., 1], axis=1)
+    full_area = jnp.maximum(nx2 - nx1, 0) * jnp.maximum(ny2 - ny1, 0)
+    cx1, cy1 = jnp.clip(nx1, 0, w), jnp.clip(ny1, 0, h)
+    cx2, cy2 = jnp.clip(nx2, 0, w), jnp.clip(ny2, 0, h)
+    clip_area = jnp.maximum(cx2 - cx1, 0) * jnp.maximum(cy2 - cy1, 0)
+    visibility = clip_area / jnp.maximum(full_area, 1e-6)
+    new_mask = (
+        mask
+        & (clip_area >= min_area_px)
+        & (visibility >= min_visibility)
+    )
+    out = jnp.stack([cx1 / w, cy1 / h, cx2 / w, cy2 / h], axis=-1)
+    return out.astype(boxes.dtype), new_mask
+
+
+def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
+                  scale=(0.95, 1.05), translate=0.05, shear=15.0,
+                  min_visibility=0.1, min_area_px=1.0):
+    """Affine with bbox tracking (train.py:404-431 semantics)."""
+    h, w, _ = image.shape
+    fwd = _affine_matrix(key, h, w, degrees=degrees, scale=scale,
+                         translate=translate, shear=shear)
+    inv = jnp.linalg.inv(fwd)
+    out = _bilinear_warp(image, inv)
+    if boxes is None:
+        return out
+    new_boxes, new_mask = _transform_boxes(
+        boxes, mask, fwd, h, w,
+        min_visibility=min_visibility, min_area_px=min_area_px,
+    )
+    return out, new_boxes, new_mask
+
+
+def resize(image, size: int, *, method: str = "linear"):
+    h, w, c = image.shape
+    return jax.image.resize(image, (size, size, c), method=method)
+
+
+def random_resized_crop(key, image, size: int, *, scale=(0.65, 1.0),
+                        ratio=(3 / 4, 4 / 3)):
+    """RandomResizedCrop via one fused scale_and_translate (no gather)."""
+    h, w, c = image.shape
+    ka, kr, kx, ky = jax.random.split(key, 4)
+    area = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        kr, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_ratio)
+    ch = jnp.sqrt(area / aspect) * h
+    cw = jnp.sqrt(area * aspect) * w
+    ch = jnp.minimum(ch, h)
+    cw = jnp.minimum(cw, w)
+    y0 = jax.random.uniform(ky, (), minval=0.0, maxval=1.0) * (h - ch)
+    x0 = jax.random.uniform(kx, (), minval=0.0, maxval=1.0) * (w - cw)
+    sc = jnp.array([size / ch, size / cw], jnp.float32)
+    tr = jnp.array([-y0 * size / ch, -x0 * size / cw], jnp.float32)
+    return jax.image.scale_and_translate(
+        image, (size, size, c), (0, 1), sc, tr, method="linear"
+    )
+
+
+# ------------------------------------------------------------- pipelines
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectionAugmentConfig:
+    image_size: int = 224
+    shadow_p: float = 0.5
+    flip_p: float = 0.5
+    degrees: float = 45.0
+    scale: tuple = (0.95, 1.05)
+    translate: float = 0.05
+    shear: float = 15.0
+    jitter_p: float = 0.6
+    dropout_p: float = 0.25
+    min_visibility: float = 0.1
+    min_area_px: float = 1.0
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detection_train_augment(key, image, boxes, mask,
+                            cfg: DetectionAugmentConfig = DetectionAugmentConfig()):
+    """Full reference train pipeline on one (canvas-sized) image."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    image = random_shadow(k1, image, p=cfg.shadow_p)
+    image, boxes = random_horizontal_flip(k2, image, boxes, p=cfg.flip_p)
+    image, boxes, mask = random_affine(
+        k3, image, boxes, mask, degrees=cfg.degrees, scale=cfg.scale,
+        translate=cfg.translate, shear=cfg.shear,
+        min_visibility=cfg.min_visibility, min_area_px=cfg.min_area_px,
+    )
+    image = color_jitter(k4, image, p=cfg.jitter_p)
+    image = coarse_dropout(k5, image, p=cfg.dropout_p)
+    if image.shape[0] != cfg.image_size:
+        image = resize(image, cfg.image_size)
+    return normalize(image), boxes, mask
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifyAugmentConfig:
+    image_size: int = 224
+    flip_p: float = 0.5
+    crop_scale: tuple = (0.65, 1.0)
+    jitter_p: float = 0.0
+    rand_augment: bool = False
+    rand_augment_magnitude: float = 0.5
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def classification_train_augment(key, image,
+                                 cfg: ClassifyAugmentConfig = ClassifyAugmentConfig()):
+    """Crop/flip fine-tune augmentation (BASELINE config #2), optional
+    RandAugment (+ViT-L preset, config #4)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    image = random_resized_crop(k1, image, cfg.image_size,
+                                scale=cfg.crop_scale)
+    image = random_horizontal_flip(k2, image, p=cfg.flip_p)
+    if cfg.jitter_p > 0:
+        image = color_jitter(k3, image, p=cfg.jitter_p)
+    if cfg.rand_augment:
+        image = rand_augment(k4, image, magnitude=cfg.rand_augment_magnitude)
+    return normalize(image)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def eval_preprocess(image, size: int = 224):
+    """Resize(size) -> Normalize (train.py:482-489 / evaluation.py:360-366)."""
+    if image.shape[0] != size or image.shape[1] != size:
+        image = resize(image, size)
+    return normalize(image)
+
+
+# ------------------------------------------------------------ randaugment
+
+
+def _ra_rotate(key, image, m):
+    deg = (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 30.0 * m
+    h, w, _ = image.shape
+    theta = jnp.deg2rad(deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.eye(3).at[0, 0].set(cos).at[0, 1].set(-sin)
+    rot = rot.at[1, 0].set(sin).at[1, 1].set(cos)
+    center = jnp.eye(3).at[0, 2].set(w / 2.0).at[1, 2].set(h / 2.0)
+    uncenter = jnp.eye(3).at[0, 2].set(-w / 2.0).at[1, 2].set(-h / 2.0)
+    fwd = center @ rot @ uncenter
+    return _bilinear_warp(image, jnp.linalg.inv(fwd))
+
+
+def _ra_posterize(key, image, m):
+    bits = jnp.round(8.0 - 4.0 * m * jax.random.uniform(key, ()))
+    levels = 2.0 ** bits
+    return jnp.floor(image * levels) / levels
+
+
+def _ra_solarize(key, image, m):
+    thresh = 1.0 - m * jax.random.uniform(key, ())
+    return jnp.where(image >= thresh, 1.0 - image, image)
+
+
+def _ra_brightness(key, image, m):
+    f = 1.0 + (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 0.8 * m
+    return jnp.clip(adjust_brightness(image, f), 0.0, 1.0)
+
+
+def _ra_contrast(key, image, m):
+    f = 1.0 + (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 0.8 * m
+    return jnp.clip(adjust_contrast(image, f), 0.0, 1.0)
+
+
+def _ra_color(key, image, m):
+    f = 1.0 + (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 0.8 * m
+    return jnp.clip(adjust_saturation(image, f), 0.0, 1.0)
+
+
+def _ra_identity(key, image, m):
+    return image
+
+
+_RA_OPS = (_ra_rotate, _ra_posterize, _ra_solarize, _ra_brightness,
+           _ra_contrast, _ra_color, _ra_identity)
+
+
+def rand_augment(key, image, *, num_ops: int = 2, magnitude: float = 0.5):
+    """RandAugment: `num_ops` randomly chosen ops at shared magnitude."""
+    for _ in range(num_ops):
+        key, kop, kparam = jax.random.split(key, 3)
+        idx = jax.random.randint(kop, (), 0, len(_RA_OPS))
+        branches = [
+            (lambda img, op=op, kp=kparam: op(kp, img, magnitude))
+            for op in _RA_OPS
+        ]
+        image = jax.lax.switch(idx, branches, image)
+    return image

@@ -1,0 +1,127 @@
+"""COCO-format detection/classification reader — pure JSON, no pycocotools.
+
+Rebuild of `COCOObjectDetectionDataset` (/root/reference/train.py:22-197 and
+its eval copy evaluation.py:241-357) with the same data contract:
+
+  * reads `<split>/_annotations.coco.json` + image files from the same dir
+    (reference paths, train.py:1386-1389);
+  * maps COCO category ids → contiguous labels sorted by id
+    (train.py:29-35 semantics), keeps the inverse map + names
+    (evaluation.py:252,256);
+  * validates boxes exactly like train.py:113-137: converts COCO [x,y,w,h]
+    pixels → normalized x1y1x2y2, clips to [0,1], drops degenerate boxes
+    (w/h <= 1px or inverted after clipping);
+  * classification view: dominant-class image label (largest total box area,
+    the reference's triplet-label rule, train.py:1122-1150 semantics).
+
+Ragged targets become *padded* fixed-shape arrays + validity masks
+(SURVEY.md §7 "ragged targets in a static-shape world") so downstream
+matcher/losses are jit-clean — replacing the reference's list-of-dicts
+collate (train.py:492-495) and its ~15 empty-case branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImageRecord:
+    path: str
+    width: int
+    height: int
+    boxes: np.ndarray      # (n, 4) normalized x1y1x2y2 float32
+    labels: np.ndarray     # (n,) contiguous int32
+    areas: np.ndarray      # (n,) normalized area float32
+    iscrowd: np.ndarray    # (n,) int32
+    image_id: int
+
+    @property
+    def dominant_label(self) -> int:
+        """Largest-total-area class; -1 for background-only images."""
+        if len(self.labels) == 0:
+            return -1
+        sums = np.zeros(int(self.labels.max()) + 1, np.float64)
+        np.add.at(sums, self.labels, self.areas)
+        return int(np.argmax(sums))
+
+
+class CocoDataset:
+    def __init__(self, split_dir: str, *,
+                 annotations_file: str = "_annotations.coco.json",
+                 min_box_pixels: float = 1.0):
+        self.split_dir = split_dir
+        with open(os.path.join(split_dir, annotations_file)) as f:
+            coco = json.load(f)
+
+        # contiguous label maps (sorted by category id, train.py:29-35)
+        cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+        self.category_id_to_label = {c["id"]: i for i, c in enumerate(cats)}
+        self.label_to_category_id = {i: c["id"] for i, c in enumerate(cats)}
+        self.class_names = [c["name"] for c in cats]
+        self.num_classes = len(cats)
+
+        anns_by_image: dict[int, list] = {}
+        for ann in coco.get("annotations", []):
+            anns_by_image.setdefault(ann["image_id"], []).append(ann)
+
+        self.records: list[ImageRecord] = []
+        for img in coco.get("images", []):
+            w, h = float(img["width"]), float(img["height"])
+            boxes, labels, areas, iscrowd = [], [], [], []
+            for ann in anns_by_image.get(img["id"], []):
+                x, y, bw, bh = ann["bbox"]
+                # degenerate in pixel space (train.py:117-121 semantics)
+                if bw <= min_box_pixels or bh <= min_box_pixels:
+                    continue
+                x1 = np.clip(x / w, 0.0, 1.0)
+                y1 = np.clip(y / h, 0.0, 1.0)
+                x2 = np.clip((x + bw) / w, 0.0, 1.0)
+                y2 = np.clip((y + bh) / h, 0.0, 1.0)
+                if x2 <= x1 or y2 <= y1:  # inverted after clipping
+                    continue
+                if ann["category_id"] not in self.category_id_to_label:
+                    continue
+                boxes.append([x1, y1, x2, y2])
+                labels.append(self.category_id_to_label[ann["category_id"]])
+                areas.append((x2 - x1) * (y2 - y1))
+                iscrowd.append(int(ann.get("iscrowd", 0)))
+            self.records.append(
+                ImageRecord(
+                    path=os.path.join(split_dir, img["file_name"]),
+                    width=int(w), height=int(h),
+                    boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+                    labels=np.asarray(labels, np.int32),
+                    areas=np.asarray(areas, np.float32),
+                    iscrowd=np.asarray(iscrowd, np.int32),
+                    image_id=int(img["id"]),
+                )
+            )
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def padded_target(self, idx: int, max_objects: int) -> dict[str, np.ndarray]:
+        """Fixed-shape target: boxes (M,4), labels (M,), mask (M,) bool."""
+        rec = self.records[idx]
+        n = min(len(rec.labels), max_objects)
+        boxes = np.zeros((max_objects, 4), np.float32)
+        labels = np.zeros((max_objects,), np.int32)
+        mask = np.zeros((max_objects,), bool)
+        boxes[:n] = rec.boxes[:n]
+        labels[:n] = rec.labels[:n]
+        mask[:n] = True
+        return {
+            "boxes": boxes,
+            "labels": labels,
+            "mask": mask,
+            "image_id": np.int32(rec.image_id),
+        }
+
+    def classification_labels(self) -> np.ndarray:
+        """Dominant-class label per image; -1 where no boxes."""
+        return np.asarray([r.dominant_label for r in self.records], np.int32)

@@ -1,0 +1,188 @@
+"""Host input pipeline: decode → letterbox → batch → prefetch.
+
+Replaces the reference's 16 fork'd DataLoader workers
+(/root/reference/train.py:15-17,1528-1545). Division of labour on TPU
+(SURVEY.md §7 "input pipeline"): the host only decodes JPEGs and letterboxes
+to a fixed canvas (static shapes for jit); everything per-pixel and random
+(shadow/affine/jitter/dropout/normalize) runs on device inside the jitted
+train step (`data/augment.py`), so host work is minimal and overlapped with
+the device step via a background prefetch thread.
+
+Letterboxing = LongestMaxSize + center PadIfNeeded(reflect)
+(train.py:389-398), with the matching normalized-bbox remap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+from arsvt_tpu.data.coco import CocoDataset
+
+
+def load_image(path: str) -> np.ndarray:
+    """JPEG/PNG -> float32 HWC RGB in [0,1] (cv2 BGR dance not needed)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def letterbox(image: np.ndarray, canvas: int):
+    """Resize longest side to `canvas`, center-pad (reflect) to square.
+
+    Returns (canvas image, box_transform) where box_transform maps
+    normalized x1y1x2y2 boxes of the original image to the canvas.
+    """
+    h, w = image.shape[:2]
+    scale = canvas / max(h, w)
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    if (nh, nw) != (h, w):
+        im = Image.fromarray((image * 255).astype(np.uint8))
+        image = (
+            np.asarray(im.resize((nw, nh), Image.BILINEAR), np.float32) / 255.0
+        )
+    pad_y, pad_x = (canvas - nh) // 2, (canvas - nw) // 2
+    out = np.pad(
+        image,
+        ((pad_y, canvas - nh - pad_y), (pad_x, canvas - nw - pad_x), (0, 0)),
+        mode="reflect" if min(nh, nw) > 1 else "edge",
+    )
+
+    def box_transform(boxes: np.ndarray) -> np.ndarray:
+        if boxes.size == 0:
+            return boxes
+        px = boxes * np.array([nw, nh, nw, nh], np.float32)
+        px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
+        return px / canvas
+
+    return out.astype(np.float32), box_transform
+
+
+class Prefetcher:
+    """Background-thread prefetch with a bounded queue (host↔device overlap)."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: BaseException | None = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on next()
+                self._err = e
+            finally:
+                self._q.put(self._done)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def detection_batches(
+    ds: CocoDataset,
+    *,
+    batch_size: int,
+    canvas: int,
+    max_objects: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    repeat: bool = True,
+    drop_remainder: bool = True,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Yields {"image": (B,canvas,canvas,3) f32 raw [0,1],
+    "boxes": (B,M,4), "labels": (B,M), "mask": (B,M), "image_id": (B,)}."""
+
+    def gen():
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while True:
+            order = np.arange(len(ds))
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order), batch_size):
+                idxs = order[start : start + batch_size]
+                if drop_remainder and len(idxs) < batch_size:
+                    continue
+                imgs, boxes, labels, masks, ids = [], [], [], [], []
+                for i in idxs:
+                    rec = ds.records[i]
+                    img, tf = letterbox(load_image(rec.path), canvas)
+                    t = ds.padded_target(int(i), max_objects)
+                    n = min(len(rec.boxes), max_objects)
+                    if n:
+                        t["boxes"][:n] = tf(rec.boxes[:n])
+                    imgs.append(img)
+                    boxes.append(t["boxes"])
+                    labels.append(t["labels"])
+                    masks.append(t["mask"])
+                    ids.append(t["image_id"])
+                yield {
+                    "image": np.stack(imgs),
+                    "boxes": np.stack(boxes),
+                    "labels": np.stack(labels),
+                    "mask": np.stack(masks),
+                    "image_id": np.asarray(ids, np.int32),
+                }
+            epoch += 1
+            if not repeat:
+                return
+
+    return Prefetcher(gen(), depth=prefetch)
+
+
+def classification_batches(
+    ds: CocoDataset,
+    *,
+    batch_size: int,
+    canvas: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    repeat: bool = True,
+    drop_remainder: bool = True,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Dominant-class labels; images with no boxes are skipped.
+
+    Yields {"image": (B,canvas,canvas,3) f32 raw [0,1], "label": (B,) i32}.
+    """
+    labels_all = ds.classification_labels()
+    keep = np.nonzero(labels_all >= 0)[0]
+
+    def gen():
+        rng = np.random.default_rng(seed)
+        while True:
+            order = keep.copy()
+            if shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order), batch_size):
+                idxs = order[start : start + batch_size]
+                if drop_remainder and len(idxs) < batch_size:
+                    continue
+                imgs = [
+                    letterbox(load_image(ds.records[i].path), canvas)[0]
+                    for i in idxs
+                ]
+                yield {
+                    "image": np.stack(imgs),
+                    "label": labels_all[idxs].astype(np.int32),
+                }
+            if not repeat:
+                return
+
+    return Prefetcher(gen(), depth=prefetch)

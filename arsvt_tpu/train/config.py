@@ -29,6 +29,8 @@ class TrainConfig:
     data_dir: str = ""                       # COCO-format root ("" = synthetic)
     batch_size: int = 512                    # global batch (train.py:1356 was 32)
     image_size: int = 0                      # 0 = preset default
+    canvas: int = 256                        # host letterbox size (static shape)
+    augment: str = "none"                    # "none"|"crop_flip"|"randaugment"|"detection"
     # optimization (reference: AdamW 1e-4 / wd 1e-4, train.py:1358-1360)
     learning_rate: float = 1e-4
     weight_decay: float = 1e-4

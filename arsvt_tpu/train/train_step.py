@@ -53,6 +53,34 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
     optimizer = make_optimizer(cfg)
     num_classes = cfg.num_classes
 
+    # on-device augmentation fused into the step (data/augment.py); with
+    # augment="none" batches must arrive already preprocessed
+    aug_cfg = None
+    if cfg.augment in ("crop_flip", "randaugment"):
+        from arsvt_tpu.data.augment import (
+            ClassifyAugmentConfig,
+            classification_train_augment,
+            eval_preprocess,
+        )
+
+        aug_cfg = ClassifyAugmentConfig(
+            image_size=backbone_cfg.image_size,
+            rand_augment=cfg.augment == "randaugment",
+        )
+
+        def augment_batch(rng, images):
+            keys = jax.random.split(rng, images.shape[0])
+            return jax.vmap(
+                lambda k, im: classification_train_augment(k, im, aug_cfg)
+            )(keys, images)
+
+        def eval_pre(images):
+            return jax.vmap(
+                lambda im: eval_preprocess(im, size=backbone_cfg.image_size)
+            )(images)
+    elif cfg.augment != "none":
+        raise ValueError(f"unknown augment mode {cfg.augment!r} for classify")
+
     def init_fn(rng) -> TrainState:
         params = init_image_classifier(rng, backbone_cfg, num_classes)
         if mesh is not None:
@@ -66,6 +94,9 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
 
     def loss_fn(params, images, labels, rng):
         compute_params = policy.cast_to_compute(params)
+        if aug_cfg is not None:
+            rng, aug_rng = jax.random.split(rng)
+            images = augment_batch(aug_rng, images)
         images = images.astype(policy.compute_dtype)
         if cfg.mixup_alpha > 0.0:
             rng, mix_rng = jax.random.split(rng)
@@ -113,9 +144,12 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
     @jax.jit
     def eval_step(params, batch):
         compute_params = policy.cast_to_compute(params)
+        images = batch["image"]
+        if aug_cfg is not None:
+            images = eval_pre(images)
         logits = apply_image_classifier(
             compute_params,
-            batch["image"].astype(policy.compute_dtype),
+            images.astype(policy.compute_dtype),
             backbone_cfg,
             num_classes,
             train=False,

@@ -1,0 +1,242 @@
+"""Data-layer tests: COCO reader, letterbox, on-device augmentation, pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arsvt_tpu.data.augment import (
+    ClassifyAugmentConfig,
+    DetectionAugmentConfig,
+    classification_train_augment,
+    coarse_dropout,
+    color_jitter,
+    denormalize,
+    detection_train_augment,
+    eval_preprocess,
+    normalize,
+    rand_augment,
+    random_affine,
+    random_horizontal_flip,
+    random_resized_crop,
+    resize,
+)
+from arsvt_tpu.data.coco import CocoDataset
+from arsvt_tpu.data.pipeline import (
+    Prefetcher,
+    classification_batches,
+    detection_batches,
+    letterbox,
+    load_image,
+)
+from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    return make_synthetic_coco(str(root), images_per_split=6, image_size=48)
+
+
+def test_coco_reader(coco_root):
+    ds = CocoDataset(coco_root + "/train")
+    assert len(ds) == 6
+    assert ds.num_classes == 6
+    assert ds.class_names[0] == "glass"
+    # label mapping round-trip (category ids are 1-based in the fixture)
+    for cid, lab in ds.category_id_to_label.items():
+        assert ds.label_to_category_id[lab] == cid
+    for rec in ds.records:
+        assert rec.boxes.shape[1] == 4
+        if rec.boxes.size:
+            assert (rec.boxes >= 0).all() and (rec.boxes <= 1).all()
+            assert (rec.boxes[:, 2] > rec.boxes[:, 0]).all()
+            assert (rec.boxes[:, 3] > rec.boxes[:, 1]).all()
+
+
+def test_coco_degenerate_boxes_dropped(tmp_path):
+    import json, os
+    d = tmp_path / "s"
+    d.mkdir()
+    from PIL import Image
+    Image.new("RGB", (32, 32)).save(d / "a.jpg")
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 32, "height": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "bbox": [2, 2, 10, 10],
+             "category_id": 1, "area": 100, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "bbox": [5, 5, 0.5, 10],
+             "category_id": 1, "area": 5, "iscrowd": 0},  # degenerate w
+            {"id": 3, "image_id": 1, "bbox": [31.5, 2, 10, 10],
+             "category_id": 1, "area": 100, "iscrowd": 0},  # clips to sliver
+        ],
+        "categories": [{"id": 1, "name": "glass"}],
+    }
+    (d / "_annotations.coco.json").write_text(json.dumps(coco))
+    ds = CocoDataset(str(d))
+    rec = ds.records[0]
+    assert len(rec.labels) == 2  # sliver survives (x2>x1), zero-width dropped
+    t = ds.padded_target(0, 5)
+    assert t["mask"].sum() == 2
+    assert t["boxes"].shape == (5, 4)
+
+
+def test_padded_target_truncates(coco_root):
+    ds = CocoDataset(coco_root + "/train")
+    t = ds.padded_target(0, 1)
+    assert t["boxes"].shape == (1, 4)
+
+
+def test_letterbox_box_transform():
+    img = np.random.default_rng(0).uniform(size=(20, 40, 3)).astype(np.float32)
+    out, tf = letterbox(img, 64)
+    assert out.shape == (64, 64, 3)
+    # full-width box stays full-width; y gets centered padding
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
+    new = tf(boxes)
+    np.testing.assert_allclose(new[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(new[0, 2], 1.0, atol=1e-6)
+    # 20/40 aspect -> scaled height 32, pad (64-32)//2=16 -> y1=16/64
+    np.testing.assert_allclose(new[0, 1], 16 / 64, atol=1e-6)
+    np.testing.assert_allclose(new[0, 3], 48 / 64, atol=1e-6)
+
+
+def test_flip_box_math():
+    key = jax.random.PRNGKey(0)
+    img = jnp.arange(4 * 4 * 3, dtype=jnp.float32).reshape(4, 4, 3)
+    boxes = jnp.array([[0.1, 0.2, 0.4, 0.6]])
+    out, new = random_horizontal_flip(key, img, boxes, p=1.0)
+    np.testing.assert_allclose(np.asarray(new), [[0.6, 0.2, 0.9, 0.6]],
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img[:, ::-1]))
+
+
+def test_affine_identity():
+    key = jax.random.PRNGKey(1)
+    img = jax.random.uniform(key, (16, 16, 3))
+    boxes = jnp.array([[0.25, 0.25, 0.75, 0.75]])
+    mask = jnp.array([True])
+    out, nb, nm = random_affine(
+        key, img, boxes, mask, degrees=0.0, scale=(1.0, 1.0),
+        translate=0.0, shear=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nb), np.asarray(boxes), atol=1e-5)
+    assert bool(nm[0])
+
+
+def test_affine_translate_kills_offscreen_box():
+    key = jax.random.PRNGKey(2)
+    img = jax.random.uniform(key, (16, 16, 3))
+    # tiny box at left edge; huge positive x-translation pushes it off-canvas
+    boxes = jnp.array([[0.0, 0.4, 0.1, 0.5]])
+    mask = jnp.array([True])
+    _, _, nm = random_affine(
+        key, img, boxes, mask, degrees=0.0, scale=(1.0, 1.0),
+        translate=0.0, shear=0.0, min_visibility=0.5,
+    )
+    assert bool(nm[0])  # identity keeps it
+    from arsvt_tpu.data.augment import _transform_boxes
+    fwd = jnp.eye(3).at[0, 2].set(15.9)  # box (1.6px wide) nearly all off-canvas
+    _, nm2 = _transform_boxes(boxes, mask, fwd, 16, 16,
+                              min_visibility=0.5, min_area_px=1.0)
+    assert not bool(nm2[0])
+
+
+def test_color_jitter_probability_gate():
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(key, (8, 8, 3))
+    out = color_jitter(key, img, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+    out2 = color_jitter(key, img, p=1.0)
+    assert not np.allclose(np.asarray(out2), np.asarray(img))
+
+
+def test_normalize_roundtrip():
+    img = jax.random.uniform(jax.random.PRNGKey(4), (8, 8, 3))
+    np.testing.assert_allclose(
+        np.asarray(denormalize(normalize(img))), np.asarray(img), atol=1e-6
+    )
+
+
+def test_coarse_dropout_zeroes():
+    img = jnp.ones((32, 32, 3))
+    out = coarse_dropout(jax.random.PRNGKey(5), img, p=1.0)
+    assert float(out.min()) == 0.0
+    assert float(out.mean()) > 0.5  # most pixels survive
+
+
+def test_random_resized_crop_full_equals_resize():
+    img = jax.random.uniform(jax.random.PRNGKey(6), (32, 32, 3))
+    out = random_resized_crop(
+        jax.random.PRNGKey(7), img, 16, scale=(1.0, 1.0), ratio=(1.0, 1.0)
+    )
+    ref = resize(img, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
+def test_detection_train_augment_shapes():
+    key = jax.random.PRNGKey(8)
+    img = jax.random.uniform(key, (64, 64, 3))
+    boxes = jnp.array([[0.2, 0.2, 0.6, 0.6], [0.0, 0.0, 0.0, 0.0]])
+    mask = jnp.array([True, False])
+    cfg = DetectionAugmentConfig(image_size=32)
+    out, nb, nm = detection_train_augment(key, img, boxes, mask, cfg)
+    assert out.shape == (32, 32, 3)
+    assert nb.shape == (2, 4)
+    assert not bool(nm[1])  # padding stays invalid
+
+
+def test_classification_augment_and_randaugment():
+    key = jax.random.PRNGKey(9)
+    img = jax.random.uniform(key, (64, 64, 3))
+    cfg = ClassifyAugmentConfig(image_size=32, rand_augment=True)
+    out = classification_train_augment(key, img, cfg)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    ra = rand_augment(key, img, magnitude=0.8)
+    assert ra.shape == img.shape and np.isfinite(np.asarray(ra)).all()
+
+
+def test_eval_preprocess():
+    img = jax.random.uniform(jax.random.PRNGKey(10), (48, 48, 3))
+    out = eval_preprocess(img, size=32)
+    assert out.shape == (32, 32, 3)
+
+
+def test_detection_batches(coco_root):
+    ds = CocoDataset(coco_root + "/train")
+    it = detection_batches(
+        ds, batch_size=4, canvas=64, max_objects=5, repeat=False,
+        shuffle=False,
+    )
+    b = next(it)
+    assert b["image"].shape == (4, 64, 64, 3)
+    assert b["boxes"].shape == (4, 5, 4)
+    assert b["labels"].shape == (4, 5)
+    assert b["mask"].shape == (4, 5)
+    assert b["image"].dtype == np.float32
+    assert (b["boxes"] >= 0).all() and (b["boxes"] <= 1).all()
+
+
+def test_classification_batches_skip_empty(coco_root):
+    ds = CocoDataset(coco_root + "/valid")
+    labels = ds.classification_labels()
+    it = classification_batches(
+        ds, batch_size=2, canvas=64, repeat=False, shuffle=False,
+        drop_remainder=False,
+    )
+    total = sum(batch["label"].shape[0] for batch in it)
+    assert total == int((labels >= 0).sum())
+
+
+def test_prefetcher_propagates_errors():
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = Prefetcher(bad())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+        next(it)
