@@ -36,11 +36,12 @@ def apply_image_classifier(
     train: bool = False,
     rng=None,
     force_reference: bool = False,
+    remat: bool = False,
 ):
     """images (B, H, W, C) -> logits (B, num_classes) fp32."""
     tokens = apply_backbone(
         params["backbone"], images, backbone_cfg,
-        train=train, rng=rng, force_reference=force_reference,
+        train=train, rng=rng, force_reference=force_reference, remat=remat,
     )
     head_cfg = ClassifierConfig(
         num_classes=num_classes, distilled=backbone_cfg.distilled

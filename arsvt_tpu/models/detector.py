@@ -48,6 +48,7 @@ def apply_detector(
     rng=None,
     return_features: bool = False,
     force_reference: bool = False,
+    remat: bool = False,
 ):
     """images (B,H,W,C) -> outputs dict; optionally + L2-normed triplet feats.
 
@@ -58,7 +59,7 @@ def apply_detector(
         rng_b, rng_h = jax.random.split(rng)
     tokens = apply_backbone(
         params["backbone"], images, cfg.backbone,
-        train=train, rng=rng_b, force_reference=force_reference,
+        train=train, rng=rng_b, force_reference=force_reference, remat=remat,
     )
     n_special = cfg.backbone.num_special_tokens
     memory = tokens[:, n_special:]  # strip CLS [+DIST] (train.py:842)

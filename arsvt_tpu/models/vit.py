@@ -177,6 +177,7 @@ def apply_backbone(
     train: bool = False,
     rng=None,
     force_reference: bool = False,
+    remat: bool = False,
 ):
     """images: (B, H, W, C) -> all tokens (B, S, D) after the final LN.
 
@@ -206,16 +207,26 @@ def apply_backbone(
 
     block_params = params["blocks"]
 
+    def block_apply(x, bp, layer_rng):
+        return _encoder_block(
+            x, bp, cfg, train=train, rng=layer_rng,
+            force_reference=force_reference,
+        )
+
+    if remat:
+        # save only block inputs; recompute attention/MLP internals in the
+        # backward pass (HBM for FLOPs — SURVEY.md §0 "jax.checkpoint")
+        block_apply = jax.checkpoint(
+            block_apply, policy=jax.checkpoint_policies.nothing_saveable
+        )
+
     def body(carry, xs):
         x, rng = carry
         bp, idx = xs
         layer_rng = None
         if train and rng is not None:
             layer_rng = jax.random.fold_in(rng, idx)
-        x = _encoder_block(
-            x, bp, cfg, train=train, rng=layer_rng,
-            force_reference=force_reference,
-        )
+        x = block_apply(x, bp, layer_rng)
         return (x, rng), None
 
     idxs = jnp.arange(cfg.depth)

@@ -1,0 +1,134 @@
+"""Training CLI: `python -m arsvt_tpu.train.cli --preset ... --data-dir ...`.
+
+Replaces the reference's entry point (`python train.py`, which had no CLI at
+all — config edits required source changes, /root/reference/train.py:1343).
+Every TrainConfig field is a flag; presets give the BASELINE.json configs;
+`--resume` restores the latest checkpoint (the reference saved optimizer
+state but had no code to load it — SURVEY.md §5 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import sys
+
+from arsvt_tpu.train.config import TRAIN_PRESETS, TrainConfig, resolve_backbone
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="arsvt_tpu trainer")
+    p.add_argument("--train-preset", default=None,
+                   help=f"one of {sorted(TRAIN_PRESETS)}")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint in checkpoint_dir")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override total_steps")
+    for f in dataclasses.fields(TrainConfig):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"),
+                           default=None)
+        elif isinstance(f.default, int):
+            p.add_argument(flag, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(flag, type=float, default=None)
+        else:
+            p.add_argument(flag, type=str, default=None)
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    cfg = TRAIN_PRESETS.get(args.train_preset, TrainConfig()) \
+        if args.train_preset else TrainConfig()
+    overrides = {}
+    for f in dataclasses.fields(TrainConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = v
+    if args.steps is not None:
+        overrides["total_steps"] = args.steps
+    return cfg.with_overrides(**overrides)
+
+
+def make_data(cfg: TrainConfig):
+    """Returns (train_batches, eval_batches_fn)."""
+    if not cfg.data_dir:
+        if cfg.task == "detect":
+            raise SystemExit("--data-dir required for detection training")
+        from arsvt_tpu.data.synthetic import synthetic_classification_batches
+
+        size = cfg.canvas if cfg.augment != "none" else (
+            cfg.image_size or resolve_backbone(cfg).image_size
+        )
+        train = synthetic_classification_batches(
+            batch_size=cfg.batch_size, image_size=size, seed=cfg.seed
+        )
+
+        def eval_batches():
+            return itertools.islice(
+                synthetic_classification_batches(
+                    batch_size=cfg.batch_size, image_size=size, seed=9999
+                ),
+                8,
+            )
+
+        return train, eval_batches
+
+    from arsvt_tpu.data.coco import CocoDataset
+    from arsvt_tpu.data.pipeline import (
+        classification_batches,
+        detection_batches,
+    )
+
+    train_ds = CocoDataset(f"{cfg.data_dir}/train")
+    val_ds = CocoDataset(f"{cfg.data_dir}/valid")
+    if cfg.task == "detect":
+        train = detection_batches(
+            train_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+            max_objects=cfg.max_objects, seed=cfg.seed,
+        )
+
+        def eval_batches():
+            return detection_batches(
+                val_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+                max_objects=cfg.max_objects, seed=1, repeat=False,
+                shuffle=False, drop_remainder=False,
+            )
+    else:
+        train = classification_batches(
+            train_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+            seed=cfg.seed,
+        )
+
+        def eval_batches():
+            return classification_batches(
+                val_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+                seed=1, repeat=False, shuffle=False, drop_remainder=False,
+            )
+
+    return train, eval_batches
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from arsvt_tpu.train.trainer import Trainer
+    from arsvt_tpu.utils.logging import MetricLogger
+
+    trainer = Trainer(cfg, logger=MetricLogger(out_dir="."))
+
+    if args.resume:
+        start = trainer.maybe_resume()
+        print(f"resumed at step {start}", file=sys.stderr)
+
+    train_batches, eval_batches_fn = make_data(cfg)
+    last = trainer.fit(train_batches, eval_batches_fn=eval_batches_fn)
+    print(f"done: {last}", file=sys.stderr)
+    return last
+
+
+if __name__ == "__main__":
+    main()

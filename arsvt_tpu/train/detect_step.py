@@ -1,0 +1,140 @@
+"""Jitted detection train / eval steps (DETR head + Hungarian + losses).
+
+The detection counterpart of `train_step.py`: one jitted function covers
+on-device augmentation, forward (backbone + DETR decoder + triplet
+features), device-side Hungarian matching, the weighted loss sum
+(train.py:1450 semantics) and the AdamW update. The reference's version of
+this loop (/root/reference/train.py:1425-1479) crossed the device boundary
+twice per step (matcher cost→CPU at train.py:963, `losses.item()` at
+train.py:1462); this one never leaves the chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
+from arsvt_tpu.models.detector import apply_detector, init_detector
+from arsvt_tpu.objectives.detection_loss import (
+    DetectionLossConfig,
+    detection_loss,
+)
+from arsvt_tpu.objectives.matcher import MatcherConfig
+from arsvt_tpu.parallel.sharding import shard_params
+from arsvt_tpu.train.config import TrainConfig, resolve_detector
+from arsvt_tpu.train.optim import make_optimizer
+
+
+def make_detector_step_fns(cfg: TrainConfig, mesh=None):
+    """Build (init_fn, train_step, eval_step) for the detection task.
+
+    batch = {"image": (B,H,W,C) raw [0,1] float, "boxes": (B,M,4) xyxy
+    normalized, "labels": (B,M) int32, "mask": (B,M) bool}.
+    """
+    det_cfg = resolve_detector(cfg)
+    policy = DEFAULT_POLICY if cfg.bf16 else FP32_POLICY
+    optimizer = make_optimizer(cfg)
+    loss_cfg = DetectionLossConfig(
+        num_classes=det_cfg.head.num_classes,
+        background_weight=cfg.background_weight,
+        w_ce=cfg.w_ce, w_bbox=cfg.w_bbox, w_giou=cfg.w_giou,
+        w_triplet=cfg.w_triplet, triplet_margin=cfg.triplet_margin,
+        matcher=MatcherConfig(),
+    )
+
+    aug = cfg.augment == "detection"
+    if aug:
+        from arsvt_tpu.data.augment import (
+            DetectionAugmentConfig,
+            detection_train_augment,
+            eval_preprocess,
+        )
+
+        aug_cfg = DetectionAugmentConfig(
+            image_size=det_cfg.backbone.image_size
+        )
+
+        def augment_batch(rng, images, boxes, mask):
+            keys = jax.random.split(rng, images.shape[0])
+            return jax.vmap(
+                lambda k, im, bx, ms: detection_train_augment(
+                    k, im, bx, ms, aug_cfg
+                )
+            )(keys, images, boxes, mask)
+
+        def eval_pre(images):
+            return jax.vmap(
+                lambda im: eval_preprocess(
+                    im, size=det_cfg.backbone.image_size
+                )
+            )(images)
+
+    def init_fn(rng):
+        params = init_detector(rng, det_cfg)
+        if mesh is not None:
+            params = shard_params(params, mesh)
+        opt_state = optimizer.init(params)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def loss_fn(params, batch, rng):
+        compute_params = policy.cast_to_compute(params)
+        images = batch["image"]
+        boxes, mask = batch["boxes"], batch["mask"]
+        if aug:
+            rng, aug_rng = jax.random.split(rng)
+            images, boxes, mask = augment_batch(aug_rng, images, boxes, mask)
+        outputs, feats = apply_detector(
+            compute_params,
+            images.astype(policy.compute_dtype),
+            det_cfg,
+            train=True, rng=rng, return_features=True, remat=cfg.remat,
+        )
+        targets = {"boxes": boxes, "labels": batch["labels"], "mask": mask}
+        total, parts = detection_loss(outputs, targets, loss_cfg, feats)
+        return total, parts
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, base_rng):
+        step_rng = jax.random.fold_in(base_rng, state["step"])
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, step_rng
+        )
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        metrics = {"loss": parts["total"], **{
+            k: v for k, v in parts.items() if k != "total"
+        }, "grad_norm": optax.global_norm(grads)}
+        return (
+            {"params": params, "opt_state": opt_state,
+             "step": state["step"] + 1},
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(params, batch):
+        compute_params = policy.cast_to_compute(params)
+        images = batch["image"]
+        if aug:
+            images = eval_pre(images)
+        outputs = apply_detector(
+            compute_params, images.astype(policy.compute_dtype), det_cfg,
+            train=False,
+        )
+        targets = {
+            "boxes": batch["boxes"], "labels": batch["labels"],
+            "mask": batch["mask"],
+        }
+        total, parts = detection_loss(outputs, targets, loss_cfg, None)
+        return {"loss": total, **parts, "outputs": outputs}
+
+    return init_fn, train_step, eval_step

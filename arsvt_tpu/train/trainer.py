@@ -38,7 +38,14 @@ class Trainer:
             MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model)
         )
         if step_fns is None:
-            step_fns = make_classifier_step_fns(cfg, self.mesh)
+            if cfg.task == "detect":
+                from arsvt_tpu.train.detect_step import (
+                    make_detector_step_fns,
+                )
+
+                step_fns = make_detector_step_fns(cfg, self.mesh)
+            else:
+                step_fns = make_classifier_step_fns(cfg, self.mesh)
         self.init_fn, self.train_step, self.eval_step = step_fns
         self.logger = logger or MetricLogger(quiet=True)
         self.base_rng = jax.random.PRNGKey(cfg.seed)
@@ -127,22 +134,33 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
     def evaluate(self, batches: Iterator[dict]) -> dict:
-        total_loss, total_correct, total_count = 0.0, 0, 0
+        """Aggregate eval metrics. Classification batches (with 'correct' /
+        'count' / 'confusion') get accuracy + confusion matrix; any other
+        scalar metrics (detection loss parts) are averaged over batches."""
+        sums: dict = {}
         confusion = None
-        n_batches = 0
+        total_correct = total_count = n_batches = 0
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
             m = self.eval_step(self.state["params"], batch)
-            total_loss += float(m["loss"])
-            total_correct += int(m["correct"])
-            total_count += int(m["count"])
-            c = np.asarray(m["confusion"])
-            confusion = c if confusion is None else confusion + c
+            for k, v in m.items():
+                if k == "confusion":
+                    c = np.asarray(v)
+                    confusion = c if confusion is None else confusion + c
+                elif k == "correct":
+                    total_correct += int(v)
+                elif k == "count":
+                    total_count += int(v)
+                elif k == "outputs":
+                    continue
+                else:
+                    sums[k] = sums.get(k, 0.0) + float(v)
             n_batches += 1
-        if total_count == 0:
+        if n_batches == 0:
             return {"loss": float("nan"), "accuracy": 0.0}
-        return {
-            "loss": total_loss / max(n_batches, 1),
-            "accuracy": total_correct / total_count,
-            "confusion": confusion.tolist(),
-        }
+        out = {k: v / n_batches for k, v in sums.items()}
+        if total_count:
+            out["accuracy"] = total_correct / total_count
+        if confusion is not None:
+            out["confusion"] = confusion.tolist()
+        return out

@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+North-star metric (BASELINE.json): images/sec/chip for ViT-B/16 fine-tune
+(train step: on-device crop/flip augmentation + bf16 forward/backward +
+AdamW) on the local TPU chip.
+
+`vs_baseline`: the reference publishes no numbers (SURVEY.md §6), so the
+target set by BASELINE.json is ">5x reference GPU images/sec/chip". We pin
+the reference-GPU proxy at 250 img/s (a typical single-GPU ViT-B/16 AMP
+fine-tune throughput for the reference's unfused torch pipeline);
+vs_baseline = value / (5 * 250), i.e. >= 1.0 means the 5x target is met.
+
+Extra sub-metrics (eval throughput, p50 single-image classify latency) go to
+stderr; the driver contract is exactly one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_GPU_IMG_S = 250.0
+TARGET = 5.0 * REFERENCE_GPU_IMG_S
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3):
+    from arsvt_tpu.train.config import TrainConfig
+    from arsvt_tpu.train.train_step import make_classifier_step_fns
+
+    cfg = TrainConfig(
+        preset="vit_base_16_224", batch_size=batch_size, bf16=True,
+        augment="crop_flip", canvas=256, total_steps=10**6, remat=True,
+    )
+    init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0)
+            .uniform(size=(batch_size, cfg.canvas, cfg.canvas, 3))
+            .astype(np.float32)
+        ),
+        "label": jnp.asarray(
+            np.random.default_rng(1).integers(0, 6, size=(batch_size,)),
+            jnp.int32,
+        ),
+    }
+
+    # NOTE: jax.block_until_ready is a no-op through the axon TPU tunnel;
+    # float() does a device_get and is the only reliable sync here.
+    t_compile = time.perf_counter()
+    state, m = train_step(state, batch, rng)
+    float(m["loss"])
+    log(f"train compile+first step: {time.perf_counter() - t_compile:.1f}s")
+
+    for _ in range(warmup - 1):
+        state, m = train_step(state, batch, rng)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    train_ips = batch_size * steps / dt
+    log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "
+        f"{dt/steps*1e3:.1f} ms/step), loss={float(m['loss']):.3f}")
+
+    # eval throughput
+    params = state["params"]
+    eval_batch = batch
+    m = eval_step(params, eval_batch)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        m = eval_step(params, eval_batch)
+    float(m["loss"])
+    eval_ips = batch_size * steps / (time.perf_counter() - t0)
+    log(f"eval: {eval_ips:.1f} img/s")
+    return train_ips, eval_ips, state
+
+
+def bench_streaming(state):
+    from arsvt_tpu.evaluation.classify import StreamingClassifier
+    from arsvt_tpu.models.registry import get_preset
+
+    clf = StreamingClassifier(
+        state["params"], get_preset("vit_base_16_224"), 6
+    )
+    img = np.random.default_rng(2).uniform(size=(224, 224, 3)).astype(
+        np.float32
+    )
+    for _ in range(50):
+        clf(img)
+    stats = clf.latency_stats()
+    log(f"streaming classify: p50={stats['p50_ms']:.2f}ms "
+        f"p99={stats['p99_ms']:.2f}ms")
+    return stats
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    train_ips, eval_ips, state = bench_train()
+    stats = bench_streaming(state)
+    result = {
+        "metric": "images/sec/chip (ViT-B/16 fine-tune train step, bf16, "
+                  "fused on-device augmentation)",
+        "value": round(train_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(train_ips / TARGET, 3),
+        "eval_images_per_sec": round(eval_ips, 1),
+        "classify_p50_ms": round(stats["p50_ms"], 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

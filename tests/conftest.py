@@ -26,6 +26,8 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 # error). Tests assert fp32-level numerics, so pin highest; the production
 # path feeds bf16 tensors explicitly and is unaffected.
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,91 @@
+"""Pallas kernel vs jnp-reference numerics — real TPU only (marked `tpu`).
+
+SURVEY.md §4 "Numerics": every kernel has a pure-jnp oracle; these compare
+fwd and grads at bf16 tolerance on the actual hardware. On CPU hosts they
+skip (interpret mode is too slow to be useful).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        not os.environ.get("ARSVT_RUN_TPU_TESTS"),
+        reason="kernel compiles are slow through the remote-compile tunnel; "
+               "set ARSVT_RUN_TPU_TESTS=1 to run (kernels are also verified "
+               "by scripts in benchmarks/)",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    return jax.devices("tpu")[0] if jax.default_backend() == "tpu" else None
+
+
+def _rand(key, shape, dtype=jnp.bfloat16):
+    return jax.random.normal(key, shape, jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("shape", [(4, 12, 197, 64), (2, 25, 198, 16)])
+def test_flash_attention_matches_reference(shape):
+    from arsvt_tpu.ops.attention import sdpa_reference
+    from arsvt_tpu.ops.pallas.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    q = _rand(key, shape)
+    k = _rand(jax.random.fold_in(key, 1), shape)
+    v = _rand(jax.random.fold_in(key, 2), shape)
+    with jax.default_device(jax.devices("tpu")[0]):
+        out = jax.jit(lambda *a: flash_attention(*a))(q, k, v)
+        ref = sdpa_reference(q, k, v)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+        assert err.max() < 2e-2  # bf16 tolerance
+
+        g1 = jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2)))(q, k, v)
+        g2 = jax.grad(
+            lambda q, k, v: jnp.sum(sdpa_reference(q, k, v).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+            assert rel < 2e-2
+
+
+def test_fused_mlp_matches_reference():
+    from arsvt_tpu.ops.mlp import gelu_mlp
+    from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
+
+    key = jax.random.PRNGKey(1)
+    n, d, m = 1576, 256, 512
+    x = _rand(key, (n, d))
+    w1 = (_rand(jax.random.fold_in(key, 1), (d, m), jnp.float32) * 0.05).astype(jnp.bfloat16)
+    b1 = jnp.zeros((m,), jnp.float32)
+    w2 = (_rand(jax.random.fold_in(key, 2), (m, d), jnp.float32) * 0.05).astype(jnp.bfloat16)
+    b2 = jnp.zeros((d,), jnp.float32)
+    with jax.default_device(jax.devices("tpu")[0]):
+        out = jax.jit(fused_gelu_mlp)(x, w1, b1, w2, b2)
+        ref = gelu_mlp(x, w1, b1, w2, b2, force_reference=True)
+        rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+        rel /= np.abs(np.asarray(ref, np.float32)).max()
+        assert rel < 2e-2
+
+        g1 = jax.jit(jax.grad(
+            lambda *a: jnp.sum(fused_gelu_mlp(*a).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+        g2 = jax.jit(jax.grad(
+            lambda *a: jnp.sum(gelu_mlp(*a, force_reference=True).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3, 4)))(x, w1, b1, w2, b2)
+        for a, b in zip(g1, g2):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+            assert rel < 3e-2
