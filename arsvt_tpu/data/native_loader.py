@@ -1,0 +1,101 @@
+"""ctypes binding for the C++ data-loader core (native/arsvt_loader.cpp).
+
+Builds `native/libarsvt_loader.so` on first use if a compiler is present
+(the toolchain is baked into the image); otherwise `available()` is False
+and `pipeline.py` falls back to the PIL path. The C++ core decodes
+JPEG/PNG with libjpeg/libpng on a thread pool and letterboxes straight
+into one contiguous (B, canvas, canvas, 3) fp32 buffer (see the .cpp
+header for the design rationale vs the reference's fork-based loaders).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libarsvt_loader.so"))
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (OSError, subprocess.SubprocessError):
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.arsvt_load_batch.restype = ctypes.c_int
+        lib.arsvt_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_letterboxed_batch(paths: list[str], canvas: int,
+                           *, threads: int | None = None):
+    """Decode+letterbox a batch natively.
+
+    Returns (images (B, canvas, canvas, 3) fp32 [0,1],
+             meta (B, 4) fp32 [scale, pad_x, pad_y, ok]).
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (build failed)")
+    n = len(paths)
+    if threads is None:
+        threads = min(max(os.cpu_count() or 1, 1), 16)
+    images = np.empty((n, canvas, canvas, 3), np.float32)
+    meta = np.empty((n, 4), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.arsvt_load_batch(
+        arr, n, canvas, threads,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return images, meta
+
+
+def box_transform_from_meta(meta_row, canvas: int):
+    """Reproduce pipeline.letterbox's box transform from native meta."""
+    scale, pad_x, pad_y = float(meta_row[0]), float(meta_row[1]), float(meta_row[2])
+
+    def transform(boxes: np.ndarray, orig_w: int, orig_h: int) -> np.ndarray:
+        if boxes.size == 0:
+            return boxes
+        nw = max(int(round(orig_w * scale)), 1)
+        nh = max(int(round(orig_h * scale)), 1)
+        px = boxes * np.array([nw, nh, nw, nh], np.float32)
+        px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
+        return px / canvas
+
+    return transform

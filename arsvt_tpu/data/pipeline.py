@@ -61,6 +61,35 @@ def letterbox(image: np.ndarray, canvas: int):
     return out.astype(np.float32), box_transform
 
 
+def load_letterboxed(paths, canvas: int, records=None):
+    """Batch decode+letterbox: C++ core when built, PIL fallback.
+
+    Returns (images (B,canvas,canvas,3) fp32, transforms: list of
+    boxes->boxes callables in normalized coords).
+    """
+    from arsvt_tpu.data import native_loader
+
+    if native_loader.available():
+        images, meta = native_loader.load_letterboxed_batch(paths, canvas)
+        transforms = []
+        for i, p in enumerate(paths):
+            if records is not None:
+                w, h = records[i].width, records[i].height
+            else:
+                w = h = canvas  # unused when no boxes follow
+            tf = native_loader.box_transform_from_meta(meta[i], canvas)
+            transforms.append(
+                lambda boxes, tf=tf, w=w, h=h: tf(boxes, w, h)
+            )
+        return images, transforms
+    images, transforms = [], []
+    for p in paths:
+        img, tf = letterbox(load_image(p), canvas)
+        images.append(img)
+        transforms.append(tf)
+    return np.stack(images), transforms
+
+
 class Prefetcher:
     """Background-thread prefetch with a bounded queue (host↔device overlap)."""
 
@@ -119,21 +148,22 @@ def detection_batches(
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
                     continue
-                imgs, boxes, labels, masks, ids = [], [], [], [], []
-                for i in idxs:
-                    rec = ds.records[i]
-                    img, tf = letterbox(load_image(rec.path), canvas)
+                recs = [ds.records[i] for i in idxs]
+                images, tfs = load_letterboxed(
+                    [r.path for r in recs], canvas, records=recs
+                )
+                boxes, labels, masks, ids = [], [], [], []
+                for i, rec, tf in zip(idxs, recs, tfs):
                     t = ds.padded_target(int(i), max_objects)
                     n = min(len(rec.boxes), max_objects)
                     if n:
                         t["boxes"][:n] = tf(rec.boxes[:n])
-                    imgs.append(img)
                     boxes.append(t["boxes"])
                     labels.append(t["labels"])
                     masks.append(t["mask"])
                     ids.append(t["image_id"])
                 yield {
-                    "image": np.stack(imgs),
+                    "image": images,
                     "boxes": np.stack(boxes),
                     "labels": np.stack(labels),
                     "mask": np.stack(masks),
@@ -174,12 +204,11 @@ def classification_batches(
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
                     continue
-                imgs = [
-                    letterbox(load_image(ds.records[i].path), canvas)[0]
-                    for i in idxs
-                ]
+                images, _ = load_letterboxed(
+                    [ds.records[i].path for i in idxs], canvas
+                )
                 yield {
-                    "image": np.stack(imgs),
+                    "image": images,
                     "label": labels_all[idxs].astype(np.int32),
                 }
             if not repeat:

@@ -22,15 +22,26 @@ from arsvt_tpu.train.config import TrainConfig
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, cfg: TrainConfig, *, keep: int = 3):
+    def __init__(self, directory: str, cfg: TrainConfig, *, keep: int = 3,
+                 best_metric: str | None = None, best_mode: str = "min"):
+        """`best_metric`: metric key (from the metrics dict passed to
+        `save`) that selects the best checkpoint — the reference's
+        `best_vit_detector.pth` on lowest val loss (train.py:1645-1654),
+        here as an orbax best_fn that also protects the best step from
+        garbage collection."""
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
         self._cfg = cfg
+        options = dict(
+            max_to_keep=keep, create=True, enable_async_checkpointing=True
+        )
+        if best_metric:
+            options.update(
+                best_fn=lambda metrics: float(metrics[best_metric]),
+                best_mode=best_mode,
+            )
         self._mgr = ocp.CheckpointManager(
-            self._dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=True
-            ),
+            self._dir, options=ocp.CheckpointManagerOptions(**options)
         )
 
     def save(self, step: int, state: dict, *, metrics: dict | None = None):
@@ -49,6 +60,10 @@ class CheckpointManager:
     @property
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
+
+    @property
+    def best_step(self) -> int | None:
+        return self._mgr.best_step()
 
     def restore(self, state_like: dict, *, step: int | None = None,
                 strict_config: bool = True) -> tuple[dict, TrainConfig]:

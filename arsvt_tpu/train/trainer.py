@@ -63,7 +63,7 @@ class Trainer:
         if self._ckpt is None:
             self._ckpt = CheckpointManager(
                 self.cfg.checkpoint_dir, self.cfg,
-                keep=self.cfg.keep_checkpoints,
+                keep=self.cfg.keep_checkpoints, best_metric="val_loss",
             )
         return self._ckpt
 
@@ -95,6 +95,7 @@ class Trainer:
         start = int(self.state["step"])
         meter = Throughput()
         last_metrics = {}
+        last_val_loss = float("inf")
 
         for step in range(start, steps):
             batch = next(train_batches)
@@ -114,6 +115,7 @@ class Trainer:
             if eval_batches_fn and (step + 1) % cfg.eval_every == 0:
                 eval_metrics = self.evaluate(eval_batches_fn())
                 self.logger.log(step + 1, eval_metrics, prefix="val/")
+                last_val_loss = float(eval_metrics.get("loss", last_val_loss))
                 if cfg.schedule == "plateau":
                     self.plateau = self.plateau.update(
                         eval_metrics["loss"], cfg
@@ -126,7 +128,10 @@ class Trainer:
             ):
                 # device_get: the async save must not race the next step's
                 # donated buffers
-                self.ckpt.save(step + 1, jax.device_get(self.state))
+                self.ckpt.save(
+                    step + 1, jax.device_get(self.state),
+                    metrics={"val_loss": last_val_loss},
+                )
 
         if self._ckpt is not None:
             self._ckpt.wait()

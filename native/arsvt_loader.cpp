@@ -1,0 +1,244 @@
+// arsvt native data-loader core.
+//
+// The reference outsources its input pipeline to OpenCV C++ inside 16
+// fork'd python DataLoader workers (/root/reference/train.py:15-17,
+// 1528-1545; cv2.imread at train.py:100). This is the TPU framework's
+// first-party native equivalent: a C++ thread pool that decodes JPEG/PNG
+// (libjpeg/libpng), converts to fp32 RGB [0,1], resizes the longest side
+// to a square canvas (bilinear) and center-pads with reflection — writing
+// every image of a batch directly into one contiguous caller-owned
+// (B, canvas, canvas, 3) buffer ready for the host→device transfer. No
+// per-image Python objects, no pickling, no fork.
+//
+// Exposed C ABI (ctypes-bound in arsvt_tpu/data/native_loader.py):
+//   arsvt_load_batch(paths, n, canvas, threads, out_images, out_meta)
+//     out_meta per image: [scale, pad_x, pad_y, ok]
+//   arsvt_decode_image(path, &w, &h)  (debug/single-image helper)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <setjmp.h>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // h*w*3
+};
+
+// ----------------------------------------------------------- JPEG decode
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ------------------------------------------------------------ PNG decode
+
+bool decode_png(FILE* f, Image* out) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; y++)
+    rows[y] = out->rgb.data() + size_t(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, Image* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  bool ok = false;
+  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, out);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    ok = decode_png(f, out);
+  }
+  fclose(f);
+  return ok && out->w > 0 && out->h > 0;
+}
+
+// --------------------------------------------- resize + letterbox to fp32
+
+inline int reflect101(int i, int n) {
+  // OpenCV BORDER_REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+  if (n == 1) return 0;
+  while (i < 0 || i >= n) {
+    if (i < 0) i = -i;
+    if (i >= n) i = 2 * n - 2 - i;
+  }
+  return i;
+}
+
+// Bilinear resize (nh, nw) then center reflect-pad into the canvas; writes
+// fp32 RGB [0,1] into out (canvas*canvas*3). Returns scale/pads via meta.
+void letterbox_into(const Image& img, int canvas, float* out, float* meta) {
+  const int w = img.w, h = img.h;
+  const float scale = float(canvas) / float(std::max(w, h));
+  const int nw = std::max(1, int(std::lround(w * scale)));
+  const int nh = std::max(1, int(std::lround(h * scale)));
+  const int pad_x = (canvas - nw) / 2;
+  const int pad_y = (canvas - nh) / 2;
+
+  // resized row cache is not needed: compute output pixels directly.
+  const float sx = float(w) / nw, sy = float(h) / nh;
+  std::vector<float> resized(size_t(nh) * nw * 3);
+  for (int y = 0; y < nh; y++) {
+    // align_corners=False convention (matches PIL/cv2 bilinear)
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = int(std::floor(fy));
+    float wy = fy - y0;
+    int y0c = std::clamp(y0, 0, h - 1), y1c = std::clamp(y0 + 1, 0, h - 1);
+    for (int x = 0; x < nw; x++) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = int(std::floor(fx));
+      float wx = fx - x0;
+      int x0c = std::clamp(x0, 0, w - 1), x1c = std::clamp(x0 + 1, 0, w - 1);
+      const uint8_t* p00 = &img.rgb[(size_t(y0c) * w + x0c) * 3];
+      const uint8_t* p01 = &img.rgb[(size_t(y0c) * w + x1c) * 3];
+      const uint8_t* p10 = &img.rgb[(size_t(y1c) * w + x0c) * 3];
+      const uint8_t* p11 = &img.rgb[(size_t(y1c) * w + x1c) * 3];
+      float* dst = &resized[(size_t(y) * nw + x) * 3];
+      for (int c = 0; c < 3; c++) {
+        float top = p00[c] * (1 - wx) + p01[c] * wx;
+        float bot = p10[c] * (1 - wx) + p11[c] * wx;
+        dst[c] = (top * (1 - wy) + bot * wy) * (1.0f / 255.0f);
+      }
+    }
+  }
+  for (int y = 0; y < canvas; y++) {
+    int sy_i = reflect101(y - pad_y, nh);
+    const float* src_row = &resized[size_t(sy_i) * nw * 3];
+    float* dst_row = out + size_t(y) * canvas * 3;
+    for (int x = 0; x < canvas; x++) {
+      int sx_i = reflect101(x - pad_x, nw);
+      const float* s = &src_row[size_t(sx_i) * 3];
+      float* d = &dst_row[size_t(x) * 3];
+      d[0] = s[0];
+      d[1] = s[1];
+      d[2] = s[2];
+    }
+  }
+  meta[0] = scale;
+  meta[1] = float(pad_x);
+  meta[2] = float(pad_y);
+  meta[3] = 1.0f;  // ok
+}
+
+}  // namespace
+
+extern "C" {
+
+// paths: array of n C strings. out_images: n*canvas*canvas*3 fp32.
+// out_meta: n*4 fp32 = [scale, pad_x, pad_y, ok] per image (ok=0 -> image
+// unreadable; its pixels are zeroed).
+int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
+                     float* out_images, float* out_meta) {
+  if (n <= 0 || canvas <= 0) return -1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      float* out = out_images + size_t(i) * canvas * canvas * 3;
+      float* meta = out_meta + size_t(i) * 4;
+      Image img;
+      if (decode_file(paths[i], &img)) {
+        letterbox_into(img, canvas, out, meta);
+      } else {
+        std::memset(out, 0, size_t(canvas) * canvas * 3 * sizeof(float));
+        meta[0] = 1.0f;
+        meta[1] = meta[2] = 0.0f;
+        meta[3] = 0.0f;
+        failures.fetch_add(1);
+      }
+    }
+  };
+  int nt = std::max(1, std::min(threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+  return failures.load();
+}
+
+// Single-image decode helper (streaming sorter path): returns 0 on success
+// and fills w/h; caller then calls arsvt_load_batch for the pixel data.
+int arsvt_probe_image(const char* path, int* w, int* h) {
+  Image img;
+  if (!decode_file(path, &img)) return -1;
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+}
