@@ -133,17 +133,23 @@ def detection_batches(
     repeat: bool = True,
     drop_remainder: bool = True,
     prefetch: int = 2,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict]:
     """Yields {"image": (B,canvas,canvas,3) f32 raw [0,1],
     "boxes": (B,M,4), "labels": (B,M), "mask": (B,M), "image_id": (B,)}."""
 
     def gen():
+        # per-host sharding: every host shuffles with the same seed and
+        # takes a disjoint stride of the order (multi-host input pipeline,
+        # SURVEY.md §2 host-parallelism row)
         rng = np.random.default_rng(seed)
         epoch = 0
         while True:
             order = np.arange(len(ds))
             if shuffle:
                 rng.shuffle(order)
+            order = order[process_index::process_count]
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
@@ -186,6 +192,8 @@ def classification_batches(
     repeat: bool = True,
     drop_remainder: bool = True,
     prefetch: int = 2,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict]:
     """Dominant-class labels; images with no boxes are skipped.
 
@@ -200,6 +208,7 @@ def classification_batches(
             order = keep.copy()
             if shuffle:
                 rng.shuffle(order)
+            order = order[process_index::process_count]
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:

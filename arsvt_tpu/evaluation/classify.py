@@ -104,6 +104,32 @@ class StreamingClassifier:
         )
         return idx, name, probs
 
+    def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
+        """Full sorter-loop step: JPEG decode → letterbox → resize/normalize
+        → classify (BASELINE config #5). Decode uses the native C++ core
+        when built."""
+        size = self._cfg.image_size
+        from arsvt_tpu.data import native_loader
+
+        t0 = time.perf_counter()
+        if native_loader.available():
+            images, meta = native_loader.load_letterboxed_batch([path], size)
+            if meta[0, 3] == 0.0:
+                raise ValueError(f"undecodable image: {path}")
+            image = images[0]
+        else:
+            from arsvt_tpu.data.pipeline import letterbox, load_image
+
+            image, _ = letterbox(load_image(path), size)
+        if self._preprocess is None:
+            from arsvt_tpu.data.augment import normalize
+
+            image = normalize(jnp.asarray(image))
+        result = self(image)
+        # replace the __call__ latency with the full decode-included one
+        self._latencies[-1] = time.perf_counter() - t0
+        return result
+
     def latency_stats(self) -> dict:
         if not self._latencies:
             return {}
@@ -111,6 +137,80 @@ class StreamingClassifier:
         return {
             "p50_ms": float(np.percentile(lat, 50)),
             "p90_ms": float(np.percentile(lat, 90)),
+            "p99_ms": float(np.percentile(lat, 99)),
+            "n": int(lat.size),
+        }
+
+
+class StreamingDetector:
+    """Single-image detect path: decode → preprocess → DETR forward →
+    post-process (conf threshold + NMS). Counterpart of StreamingClassifier
+    for the sorter's detection mode."""
+
+    def __init__(self, params, detector_cfg, *, compute_dtype=jnp.bfloat16,
+                 conf_threshold: float = 0.5, nms_threshold: float = 0.5):
+        from arsvt_tpu.data.augment import normalize
+        from arsvt_tpu.evaluation.detect import post_process
+        from arsvt_tpu.models.detector import apply_detector
+
+        self._cfg = detector_cfg
+        self._latencies: list[float] = []
+        size = detector_cfg.backbone.image_size
+
+        @jax.jit
+        def infer(params, image):
+            out = apply_detector(
+                params, normalize(image)[None].astype(compute_dtype),
+                detector_cfg, train=False,
+            )
+            return post_process(
+                out["class_logits"], out["boxes_cxcywh"],
+                conf_threshold=conf_threshold, nms_threshold=nms_threshold,
+            )
+
+        self._infer = infer
+        self._params = params
+        self._size = size
+        jax.device_get(
+            infer(params, jnp.zeros((size, size, 3), jnp.float32))["valid"]
+        )
+
+    def detect_path(self, path: str) -> dict:
+        from arsvt_tpu.data import native_loader
+
+        t0 = time.perf_counter()
+        if native_loader.available():
+            images, meta = native_loader.load_letterboxed_batch(
+                [path], self._size
+            )
+            if meta[0, 3] == 0.0:
+                raise ValueError(f"undecodable image: {path}")
+            image = images[0]
+        else:
+            from arsvt_tpu.data.pipeline import letterbox, load_image
+
+            image, _ = letterbox(load_image(path), self._size)
+        out = self._infer(self._params, jnp.asarray(image))
+        out = {k: np.asarray(v)[0] for k, v in out.items()}
+        sel = out["valid"]
+        result = {
+            "boxes": out["boxes"][sel],
+            "labels": out["labels"][sel],
+            "scores": out["scores"][sel],
+            "class_names": [
+                RECYCLING_CLASSES[i] if i < len(RECYCLING_CLASSES) else str(i)
+                for i in out["labels"][sel]
+            ],
+        }
+        self._latencies.append(time.perf_counter() - t0)
+        return result
+
+    def latency_stats(self) -> dict:
+        if not self._latencies:
+            return {}
+        lat = np.asarray(self._latencies) * 1e3
+        return {
+            "p50_ms": float(np.percentile(lat, 50)),
             "p99_ms": float(np.percentile(lat, 99)),
             "n": int(lat.size),
         }

@@ -1,0 +1,189 @@
+"""Pretrained-weight conversion: HuggingFace / timm ViT -> arsvt pytree.
+
+BASELINE.json config #2 is "ViT-Base/16 fine-tune from pretrained weights";
+with zero network egress the framework ships the *converter*, not the
+weights: point it at a local `pytorch_model.bin` / safetensors state dict
+(HF `ViTModel`/`ViTForImageClassification` naming) or a timm ViT state
+dict, get back an `init_backbone`-shaped parameter tree (stacked blocks).
+
+Layout notes:
+  * torch Linear weights are (out, in) -> transposed to our (in, out);
+  * HF keeps separate q/k/v projections -> concatenated into our fused
+    (D, 3D) kernel; timm already stores fused qkv;
+  * the patch conv (D, C, p, p) -> our flattened (p*p*C, D) matmul kernel
+    with (kh, kw, c) ordering matching `ops.patch_embed.extract_patches`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import jax.numpy as jnp
+
+from arsvt_tpu.models.vit import BackboneConfig
+
+
+def _t(w):  # torch (out, in) -> (in, out)
+    return np.asarray(w).T
+
+
+def _conv_to_matmul(w):
+    # (D, C, p, p) -> (p, p, C, D) -> (p*p*C, D)
+    w = np.asarray(w)
+    d = w.shape[0]
+    return w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+
+def detect_source(state: dict) -> str:
+    keys = set(state)
+    if any(".attention.attention.query.weight" in k for k in keys):
+        return "hf"
+    if any(k.endswith("attn.qkv.weight") for k in keys):
+        return "timm"
+    raise ValueError("unrecognised ViT state-dict naming")
+
+
+def _strip_prefix(state: dict) -> dict:
+    # HF checkpoints may carry a top-level "vit." (ViTForImageClassification)
+    if any(k.startswith("vit.") for k in state):
+        return {k[len("vit."):]: v for k, v in state.items()
+                if k.startswith("vit.")}
+    return state
+
+
+def from_pretrained_state(state: dict, cfg: BackboneConfig) -> dict:
+    """Convert a torch state dict (numpy-convertible values) to our params."""
+    state = {k: np.asarray(v) for k, v in state.items()}
+    source = detect_source(_strip_prefix(state))
+    if source == "hf":
+        return _from_hf(_strip_prefix(state), cfg)
+    return _from_timm(state, cfg)
+
+
+def _stack(layers: list[dict]) -> dict:
+    out: dict = {}
+    for key in layers[0]:
+        if isinstance(layers[0][key], dict):
+            out[key] = _stack([layer[key] for layer in layers])
+        else:
+            out[key] = jnp.asarray(np.stack([layer[key] for layer in layers]))
+    return out
+
+
+def _from_hf(s: dict, cfg: BackboneConfig) -> dict:
+    d = cfg.embed_dim
+    layers = []
+    for i in range(cfg.depth):
+        p = f"encoder.layer.{i}."
+        qkv_w = np.concatenate(
+            [_t(s[p + f"attention.attention.{n}.weight"])
+             for n in ("query", "key", "value")], axis=1,
+        )
+        qkv_b = np.concatenate(
+            [s[p + f"attention.attention.{n}.bias"]
+             for n in ("query", "key", "value")]
+        )
+        layers.append({
+            "ln1": {"scale": s[p + "layernorm_before.weight"],
+                    "bias": s[p + "layernorm_before.bias"]},
+            "attn": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "proj": {"kernel": _t(s[p + "attention.output.dense.weight"]),
+                         "bias": s[p + "attention.output.dense.bias"]},
+            },
+            "ln2": {"scale": s[p + "layernorm_after.weight"],
+                    "bias": s[p + "layernorm_after.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(s[p + "intermediate.dense.weight"]),
+                        "bias": s[p + "intermediate.dense.bias"]},
+                "fc2": {"kernel": _t(s[p + "output.dense.weight"]),
+                        "bias": s[p + "output.dense.bias"]},
+            },
+        })
+    params = {
+        "patch_embed": {
+            "kernel": jnp.asarray(_conv_to_matmul(
+                s["embeddings.patch_embeddings.projection.weight"]
+            )),
+            "bias": jnp.asarray(
+                s["embeddings.patch_embeddings.projection.bias"]
+            ),
+        },
+        "cls_token": jnp.asarray(s["embeddings.cls_token"]),
+        "pos_embed": jnp.asarray(s["embeddings.position_embeddings"]),
+        "blocks": _stack(layers),
+        "ln_f": {"scale": jnp.asarray(s["layernorm.weight"]),
+                 "bias": jnp.asarray(s["layernorm.bias"])},
+    }
+    _check_shapes(params, cfg)
+    return params
+
+
+def _from_timm(s: dict, cfg: BackboneConfig) -> dict:
+    layers = []
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        layers.append({
+            "ln1": {"scale": s[p + "norm1.weight"],
+                    "bias": s[p + "norm1.bias"]},
+            "attn": {
+                "qkv": {"kernel": _t(s[p + "attn.qkv.weight"]),
+                        "bias": s[p + "attn.qkv.bias"]},
+                "proj": {"kernel": _t(s[p + "attn.proj.weight"]),
+                         "bias": s[p + "attn.proj.bias"]},
+            },
+            "ln2": {"scale": s[p + "norm2.weight"],
+                    "bias": s[p + "norm2.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(s[p + "mlp.fc1.weight"]),
+                        "bias": s[p + "mlp.fc1.bias"]},
+                "fc2": {"kernel": _t(s[p + "mlp.fc2.weight"]),
+                        "bias": s[p + "mlp.fc2.bias"]},
+            },
+        })
+    params = {
+        "patch_embed": {
+            "kernel": jnp.asarray(_conv_to_matmul(s["patch_embed.proj.weight"])),
+            "bias": jnp.asarray(s["patch_embed.proj.bias"]),
+        },
+        "cls_token": jnp.asarray(s["cls_token"]),
+        "pos_embed": jnp.asarray(s["pos_embed"]),
+        "blocks": _stack(layers),
+        "ln_f": {"scale": jnp.asarray(s["norm.weight"]),
+                 "bias": jnp.asarray(s["norm.bias"])},
+    }
+    if "dist_token" in s:
+        params["dist_token"] = jnp.asarray(s["dist_token"])
+    _check_shapes(params, cfg)
+    return params
+
+
+def _check_shapes(params: dict, cfg: BackboneConfig):
+    d = cfg.embed_dim
+    k = params["blocks"]["attn"]["qkv"]["kernel"]
+    if k.shape != (cfg.depth, d, 3 * d):
+        raise ValueError(
+            f"converted qkv kernel {k.shape} does not match config "
+            f"({cfg.depth}, {d}, {3 * d}) — wrong preset for this checkpoint?"
+        )
+    pe = params["pos_embed"]
+    if pe.shape[1] != cfg.seq_len:
+        raise ValueError(
+            f"pos_embed length {pe.shape[1]} != config seq_len "
+            f"{cfg.seq_len} (image_size/patch_size mismatch)"
+        )
+
+
+def load_torch_state(path: str) -> dict:
+    """Load a .bin/.pt (torch.load) or .safetensors file to numpy dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.numpy() for k, v in state.items()}

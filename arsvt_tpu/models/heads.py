@@ -30,7 +30,10 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.ops.attention import multi_head_attention
+from arsvt_tpu.ops.attention import (
+    multi_head_attention,
+    self_attention_from_qkv,
+)
 from arsvt_tpu.ops.layernorm import layer_norm
 from arsvt_tpu.ops.mlp import gelu_mlp
 from arsvt_tpu.models.vit import BackboneConfig, _linear_init, _trunc_normal, dropout
@@ -166,10 +169,9 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
     qkv = (jnp.dot(y, bp["self_attn"]["qkv"]["kernel"].astype(y.dtype),
                    preferred_element_type=jnp.float32)
            + bp["self_attn"]["qkv"]["bias"]).astype(x.dtype)
-    qkv = qkv.reshape(b, q, 3, cfg.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-    sa = multi_head_attention(qkv[0], qkv[1], qkv[2],
-                              force_reference=force_reference)
-    sa = sa.transpose(0, 2, 1, 3).reshape(b, q, d)
+    # decoder self-attn is tiny (Q<=100 queries): the packed-reference path
+    # is cheaper than a kernel launch
+    sa = self_attention_from_qkv(qkv, cfg.num_heads, force_reference=True)
     sa = (jnp.dot(sa, bp["self_attn"]["proj"]["kernel"].astype(sa.dtype),
                   preferred_element_type=jnp.float32)
           + bp["self_attn"]["proj"]["bias"]).astype(x.dtype)

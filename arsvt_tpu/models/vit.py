@@ -28,7 +28,10 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.ops.attention import multi_head_attention
+from arsvt_tpu.ops.attention import (
+    multi_head_attention,
+    self_attention_from_qkv,
+)
 from arsvt_tpu.ops.layernorm import layer_norm
 from arsvt_tpu.ops.mlp import gelu_mlp
 from arsvt_tpu.ops.patch_embed import patch_embed
@@ -146,10 +149,7 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
                 preferred_element_type=jnp.float32)
         + bp["attn"]["qkv"]["bias"]
     ).astype(x.dtype)
-    qkv = qkv.reshape(b, s, 3, h, hd).transpose(2, 0, 3, 1, 4)  # (3,B,H,S,hd)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    attn = multi_head_attention(q, k, v, force_reference=force_reference)
-    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, d)
+    attn = self_attention_from_qkv(qkv, h, force_reference=force_reference)
     attn = (
         jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype),
                 preferred_element_type=jnp.float32)

@@ -52,3 +52,32 @@ def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False):
     from arsvt_tpu.ops.pallas.flash_attention import flash_attention
 
     return flash_attention(q, k, v, mask=mask)
+
+
+def self_attention_from_qkv(qkv_flat, num_heads: int,
+                            *, force_reference: bool = False):
+    """Packed self-attention: (B, S, 3D) projection output -> (B, S, D).
+
+    On TPU this dispatches to the transpose-free fused-QKV Pallas kernel
+    (ops/pallas/qkv_attention.py); the reference path materialises the
+    (3, B, H, S, d) transpose and runs `sdpa_reference`.
+    """
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    head_dim = d // num_heads
+    if not force_reference and use_pallas():
+        from arsvt_tpu.ops.pallas import qkv_attention
+
+        if qkv_attention.supported(num_heads, head_dim):
+            qkv4 = qkv_flat.reshape(b, s, 3, d)
+            return qkv_attention.fused_qkv_self_attention(qkv4, num_heads)
+        # odd head geometry (e.g. the reference DeiT's 25 heads of dim 16):
+        # per-head flash kernel via the transposed layout
+        qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        out = multi_head_attention(qkv[0], qkv[1], qkv[2])
+        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, S, hd)
+    out = sdpa_reference(qkv[0], qkv[1], qkv[2])
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)

@@ -101,3 +101,19 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def place_on_mesh(tree, mesh: Mesh):
+    """Give every leaf a mesh sharding: leaves that already carry a
+    NamedSharding on `mesh` (params, optimizer moments via zeros_like) are
+    left alone; everything else (optax scalars like `count`, injected
+    hyperparams) is replicated. A train state placed this way restores and
+    runs on ANY mesh shape."""
+
+    def place(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, tree)

@@ -93,7 +93,17 @@ class CheckpointManager:
                 state=ocp.args.StandardRestore(state_like),
             ),
         )
-        return restored["state"], saved_cfg
+        state = restored["state"]
+        # orbax drops shardings on some leaves (e.g. scalars); re-place
+        # everything with state_like's shardings so a restored state is
+        # usable on ANY mesh shape, not just the one it was saved under
+        def replace(like, x):
+            if hasattr(like, "sharding"):
+                return jax.device_put(x, like.sharding)
+            return x
+
+        state = jax.tree_util.tree_map(replace, state_like, state)
+        return state, saved_cfg
 
     def close(self):
         self._mgr.close()

@@ -86,11 +86,16 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         if mesh is not None:
             params = shard_params(params, mesh)
         opt_state = optimizer.init(params)
-        return {
+        state = {
             "params": params,
             "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32),
         }
+        if mesh is not None:
+            from arsvt_tpu.parallel.sharding import place_on_mesh
+
+            state = place_on_mesh(state, mesh)
+        return state
 
     def loss_fn(params, images, labels, rng):
         compute_params = policy.cast_to_compute(params)

@@ -1,0 +1,107 @@
+"""Pretrained conversion parity: torch HF ViTModel forward == ours."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from arsvt_tpu.models.convert import from_pretrained_state  # noqa: E402
+from arsvt_tpu.models.vit import BackboneConfig, apply_backbone  # noqa: E402
+
+
+def test_hf_vit_forward_parity():
+    from transformers import ViTConfig, ViTModel
+
+    hf_cfg = ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+
+    cfg = BackboneConfig(
+        image_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        mlp_dim=64,
+    )
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = from_pretrained_state(state, cfg)
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        # torch expects NCHW
+        t_out = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(
+        apply_backbone(params, jnp.asarray(images), cfg,
+                       force_reference=True)
+    )
+    # HF uses exact-erf GELU; ours uses the tanh approximation -> small
+    # systematic differences, bounded well under fine-tune noise.
+    assert np.abs(ours - t_out).max() < 5e-3
+
+
+def test_timm_style_dict_converts():
+    cfg = BackboneConfig(image_size=32, patch_size=8, embed_dim=32,
+                         depth=1, num_heads=2, mlp_dim=64)
+    rng = np.random.default_rng(1)
+
+    def w(*shape):
+        return rng.normal(0, 0.02, shape).astype(np.float32)
+
+    state = {
+        "patch_embed.proj.weight": w(32, 3, 8, 8),
+        "patch_embed.proj.bias": w(32),
+        "cls_token": w(1, 1, 32),
+        "pos_embed": w(1, 17, 32),
+        "norm.weight": w(32), "norm.bias": w(32),
+        "blocks.0.norm1.weight": w(32), "blocks.0.norm1.bias": w(32),
+        "blocks.0.attn.qkv.weight": w(96, 32),
+        "blocks.0.attn.qkv.bias": w(96),
+        "blocks.0.attn.proj.weight": w(32, 32),
+        "blocks.0.attn.proj.bias": w(32),
+        "blocks.0.norm2.weight": w(32), "blocks.0.norm2.bias": w(32),
+        "blocks.0.mlp.fc1.weight": w(64, 32), "blocks.0.mlp.fc1.bias": w(64),
+        "blocks.0.mlp.fc2.weight": w(32, 64), "blocks.0.mlp.fc2.bias": w(32),
+    }
+    params = from_pretrained_state(state, cfg)
+    out = apply_backbone(
+        params, jnp.zeros((1, 32, 32, 3)), cfg, force_reference=True
+    )
+    assert out.shape == (1, 17, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_config_mismatch_raises():
+    cfg = BackboneConfig(image_size=32, patch_size=8, embed_dim=64,
+                         depth=1, num_heads=2, mlp_dim=64)
+    state = {
+        "patch_embed.proj.weight": np.zeros((32, 3, 8, 8), np.float32),
+        "patch_embed.proj.bias": np.zeros(32, np.float32),
+        "cls_token": np.zeros((1, 1, 32), np.float32),
+        "pos_embed": np.zeros((1, 17, 32), np.float32),
+        "norm.weight": np.zeros(32, np.float32),
+        "norm.bias": np.zeros(32, np.float32),
+        "blocks.0.norm1.weight": np.zeros(32, np.float32),
+        "blocks.0.norm1.bias": np.zeros(32, np.float32),
+        "blocks.0.attn.qkv.weight": np.zeros((96, 32), np.float32),
+        "blocks.0.attn.qkv.bias": np.zeros(96, np.float32),
+        "blocks.0.attn.proj.weight": np.zeros((32, 32), np.float32),
+        "blocks.0.attn.proj.bias": np.zeros(32, np.float32),
+        "blocks.0.norm2.weight": np.zeros(32, np.float32),
+        "blocks.0.norm2.bias": np.zeros(32, np.float32),
+        "blocks.0.mlp.fc1.weight": np.zeros((64, 32), np.float32),
+        "blocks.0.mlp.fc1.bias": np.zeros(64, np.float32),
+        "blocks.0.mlp.fc2.weight": np.zeros((32, 64), np.float32),
+        "blocks.0.mlp.fc2.bias": np.zeros(32, np.float32),
+    }
+    with pytest.raises(ValueError, match="does not match config"):
+        from_pretrained_state(state, cfg)

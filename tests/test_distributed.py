@@ -1,0 +1,103 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4): fake 8-device mesh.
+
+DP gradient equivalence is covered in test_train_integration; here: DP×TP
+for both tasks, checkpoint restore across different mesh shapes, and the
+driver's dryrun_multichip entry.
+"""
+
+import importlib.util
+
+import jax
+import numpy as np
+import pytest
+
+from arsvt_tpu.data.synthetic import synthetic_classification_batches
+from arsvt_tpu.parallel.mesh import MeshConfig, make_mesh
+from arsvt_tpu.parallel.sharding import shard_batch
+from arsvt_tpu.train.config import TRAIN_PRESETS
+from arsvt_tpu.train.train_step import make_classifier_step_fns
+
+
+def mesh_of(data, model):
+    return make_mesh(MeshConfig(data=data, model=model), platform="cpu")
+
+
+def test_dp_tp_classifier_matches_single_device():
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False)
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=5)
+    )
+    rng = jax.random.PRNGKey(0)
+
+    results = []
+    for mesh in [None, mesh_of(2, 4), mesh_of(8, 1)]:
+        init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh)
+        state = init_fn(jax.random.fold_in(rng, 0xA11))
+        b = shard_batch(batch, mesh) if mesh is not None else batch
+        state, m = train_step(state, b, rng)
+        results.append((float(m["loss"]), state))
+
+    base_loss, base_state = results[0]
+    for loss, state in results[1:]:
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(base_state["params"]),
+            jax.tree_util.tree_leaves(state["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            )
+
+
+def test_dp_tp_detector_runs():
+    from arsvt_tpu.train.detect_step import make_detector_step_fns
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        preset="detector_test", task="detect", batch_size=8, max_objects=4,
+    )
+    mesh = mesh_of(4, 2)
+    init_fn, train_step, _ = make_detector_step_fns(cfg, mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "image": rng_np.uniform(size=(8, 32, 32, 3)).astype(np.float32),
+        "boxes": np.tile(
+            np.array([0.2, 0.2, 0.6, 0.6], np.float32), (8, 4, 1)
+        ),
+        "labels": rng_np.integers(0, 6, (8, 4)).astype(np.int32),
+        "mask": np.tile(np.array([True, True, False, False]), (8, 1)),
+    }
+    state, m = train_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss_bbox"]) >= 0
+
+
+def test_restore_across_mesh_shapes(tmp_path):
+    """Checkpoint saved under 8x1 restores and runs under 4x2 (SURVEY §4)."""
+    from arsvt_tpu.train.trainer import Trainer
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=4, checkpoint_every=4, log_every=10**9,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    tr = Trainer(cfg, mesh=mesh_of(8, 1))
+    tr.fit(synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0))
+
+    tr2 = Trainer(cfg, mesh=mesh_of(4, 2))
+    assert tr2.maybe_resume() == 4
+    batch = next(synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=1))
+    state, m = tr2.train_step(
+        tr2.state, shard_batch(batch, tr2.mesh), tr2.base_rng
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dryrun_multichip_entry():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
