@@ -197,4 +197,17 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
     result = {"loss": total_loss / max(n_batches, 1), **ap}
     for k, v in parts_sum.items():
         result[k] = v / max(n_batches, 1)
+    # the reference's count statistics (evaluation.py:593-615): total and
+    # per-class prediction counts, per-image average — kept alongside the
+    # real metrics it never computed
+    n_images = len(predictions)
+    counts = np.zeros(num_classes, np.int64)
+    for pred in predictions:
+        for lab in pred["labels"]:
+            counts[int(lab)] += 1
+    result["total_predictions"] = int(counts.sum())
+    result["predictions_per_image"] = (
+        float(counts.sum() / n_images) if n_images else 0.0
+    )
+    result["class_prediction_counts"] = counts.tolist()
     return result

@@ -65,19 +65,14 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
     head_dim = d // num_heads
-    if not force_reference and use_pallas():
-        from arsvt_tpu.ops.pallas import qkv_attention
-
-        if qkv_attention.supported(num_heads, head_dim):
-            qkv4 = qkv_flat.reshape(b, s, 3, d)
-            return qkv_attention.fused_qkv_self_attention(qkv4, num_heads)
-        # odd head geometry (e.g. the reference DeiT's 25 heads of dim 16):
-        # per-head flash kernel via the transposed layout
-        qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)
-        out = multi_head_attention(qkv[0], qkv[1], qkv[2])
-        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
     qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
     qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, S, hd)
-    out = sdpa_reference(qkv[0], qkv[1], qkv[2])
+    # NOTE: the packed-layout kernel (ops/pallas/qkv_attention.py) avoids
+    # these transposes but measured slower than transpose + per-head flash
+    # (10.0 vs 6.0 ms fwd at ViT-B bs256) — strided slab reads in VMEM eat
+    # the copy savings. Kept for future tuning; this path dispatches to the
+    # flash kernel through multi_head_attention.
+    out = multi_head_attention(
+        qkv[0], qkv[1], qkv[2], force_reference=force_reference
+    )
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)

@@ -21,3 +21,12 @@ def use_pallas() -> bool:
     if os.environ.get("ARSVT_FORCE_PALLAS"):
         return True
     return jax.default_backend() == "tpu"
+
+
+def use_fused_mlp() -> bool:
+    """Per-kernel ablation gate (perf experiments)."""
+    return use_pallas() and not os.environ.get("ARSVT_DISABLE_FUSED_MLP")
+
+
+def use_ln_vjp() -> bool:
+    return not os.environ.get("ARSVT_DISABLE_LN_VJP")

@@ -59,4 +59,9 @@ _layer_norm.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
 
 
 def layer_norm(x, scale, bias, *, eps: float = 1e-6):
-    return _layer_norm(x, scale, bias, eps)
+    from arsvt_tpu.ops.dispatch import use_ln_vjp
+
+    if use_ln_vjp():
+        return _layer_norm(x, scale, bias, eps)
+    y, _, _ = _ln_fwd_math(x, scale, bias, eps)  # XLA autodiff path
+    return y

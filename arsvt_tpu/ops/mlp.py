@@ -11,12 +11,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.ops.dispatch import use_pallas
+from arsvt_tpu.ops.dispatch import use_fused_mlp
 
 
 def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
     """x: (..., D); w1: (D, M); w2: (M, D). Returns (..., D) in x.dtype."""
-    if not force_reference and use_pallas():
+    if not force_reference and use_fused_mlp():
         from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
 
         return fused_gelu_mlp(x, w1, b1, w2, b2)

@@ -1,0 +1,42 @@
+import sys, time
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from arsvt_tpu.train.config import TrainConfig
+from arsvt_tpu.train.train_step import make_classifier_step_fns
+
+def run(remat, batch_size, steps=10):
+    cfg = TrainConfig(preset="vit_base_16_224", batch_size=batch_size,
+                      bf16=True, augment="crop_flip", canvas=256,
+                      total_steps=10**6, remat=remat)
+    init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    batch = {"image": jnp.asarray(np.random.default_rng(0).uniform(
+                 size=(batch_size, 256, 256, 3)).astype(np.float32)),
+             "label": jnp.asarray(np.random.default_rng(1).integers(
+                 0, 6, size=(batch_size,)), jnp.int32)}
+    t0 = time.time()
+    state, m = train_step(state, batch, rng); float(m["loss"])
+    print(f"remat={remat} bs={batch_size} compile {time.time()-t0:.0f}s", flush=True)
+    state, m = train_step(state, batch, rng); float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    print(f"remat={remat} bs={batch_size}: {batch_size*steps/dt:.0f} img/s "
+          f"({dt/steps*1e3:.0f} ms/step) loss={float(m['loss']):.3f}", flush=True)
+
+import argparse
+p = argparse.ArgumentParser()
+p.add_argument("--configs", default="True:256,False:256")
+args = p.parse_args()
+pairs = [(c.split(":")[0] == "True", int(c.split(":")[1])) for c in args.configs.split(",")]
+for remat, bs in pairs:
+    try:
+        run(remat, bs)
+    except Exception as e:
+        s = str(e); i = s.find("Ran out")
+        print(f"({remat},{bs}) failed:", (s[i:i+250] if i >= 0 else s[:250]).replace("\n", " "), flush=True)
+print("ALLDONE")
