@@ -24,8 +24,12 @@ def use_pallas() -> bool:
 
 
 def use_fused_mlp() -> bool:
-    """Per-kernel ablation gate (perf experiments)."""
-    return use_pallas() and not os.environ.get("ARSVT_DISABLE_FUSED_MLP")
+    """Opt-in (ARSVT_ENABLE_FUSED_MLP=1): measured end-to-end, XLA's MLP
+    lowering beats the fused kernel under rematerialisation (629 vs 545
+    img/s, ViT-B bs256) — the kernel's win is memory (bf16 residuals,
+    enables no-remat) which only pays once batch sizes fit; see
+    benchmarks/ and ops/pallas/fused_mlp.py."""
+    return use_pallas() and bool(os.environ.get("ARSVT_ENABLE_FUSED_MLP"))
 
 
 def use_ln_vjp() -> bool:

@@ -20,10 +20,15 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
         from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
 
         return fused_gelu_mlp(x, w1, b1, w2, b2)
-    h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
+    u = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
         jnp.float32
     )
-    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    # cast the GELU input to the storage dtype BEFORE the activation: XLA's
+    # autodiff then saves bf16 residuals (u and h) instead of fp32 — halves
+    # the dominant per-layer activation memory at no numerics cost that
+    # matters (gelu'(u) in bf16 ulp), making no-remat training reachable.
+    u = u.astype(x.dtype)
+    h = jax.nn.gelu(u, approximate=True)
     out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(
         jnp.float32
     )

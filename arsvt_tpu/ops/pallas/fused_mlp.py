@@ -1,22 +1,23 @@
 """Fused GELU MLP — Pallas TPU kernels with custom VJP.
 
-The measured ViT-B memory killer (SURVEY.md §7 "bf16 numerics" corollary):
-XLA's autodiff saves the fp32 (B, S, mlp_dim) GELU input per layer — stacked
-over a 12-layer scan that is ~17 GB at batch 256 and forces full-graph
-rematerialisation. This kernel:
+Memory story (measured, ViT-B batch 256): XLA's autodiff saves the fp32
+(B·S, mlp_dim) GELU input per layer — ~41 GB over a 12-layer scan, forcing
+full-graph rematerialisation. A first version of this kernel saved only x
+and recomputed the hidden in backward; that costs +2 matmuls/layer and
+measured 15% slower end-to-end under remat. This version:
 
-  forward:  out = gelu(x @ w1 + b1) @ w2 + b2 with the (rows, M) hidden kept
-            in VMEM only — never written to HBM; grid (row-blocks, M-blocks)
-            accumulating into the output block across M (sequential inner
-            grid dim, init at m==0).
-  backward: saves ONLY x (+ the weights) and recomputes the hidden:
-            two kernels because the two accumulations run over different
-            grid axes (dx sums over M blocks, dw/db over row blocks) and
-            TPU output revisiting must be over consecutive iterations.
+  forward:  out = gelu(x @ w1 + b1) @ w2 + b2 with the hidden kept in VMEM
+            (never written to HBM as fp32); additionally emits the
+            pre-activation u as a *bf16* residual (2.5x smaller than XLA's
+            fp32 save, 1.9 GB/step at ViT-B bs256).
+  backward: zero recompute matmuls — FLOP-identical to XLA-with-saved-h:
+            dx kernel:  dh = do @ w2ᵀ, du = dh ∘ gelu'(u), dx = du @ w1ᵀ
+                        (accumulated over M blocks; also emits du bf16)
+            dw kernel:  h = gelu(u) (elementwise), dw1 = xᵀ@du,
+                        db1 = Σdu, dw2 = hᵀ@do (accumulated over rows)
 
-Matches `ops.mlp.gelu_mlp` (tanh-approx GELU, fp32 accumulation islands)
-within bf16 tolerance; replaces /root/reference/train.py:558-573's MLPBlock
-compute path.
+Replaces /root/reference/train.py:558-573's MLPBlock compute path. The
+tanh GELU matches `ops.mlp.gelu_mlp` within bf16 tolerance.
 """
 
 from __future__ import annotations
@@ -59,8 +60,8 @@ def _pick_block(n: int, target: int, quantum: int) -> int:
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref,
-                *, n_m):
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, u_ref,
+                acc_ref, *, n_m):
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -71,6 +72,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref,
         jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
         + b1_ref[0].astype(jnp.float32)
     )
+    u_ref[...] = u.astype(u_ref.dtype)
     h = _gelu(u)
     acc_ref[...] += jnp.dot(
         h.astype(x_ref.dtype), w2_ref[...],
@@ -108,9 +110,16 @@ def _fwd(x2d, w1, b1, w2, b2):
             pl.BlockSpec((1, d), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, d), lambda i, m: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d), x2d.dtype),
+        out_specs=(
+            pl.BlockSpec((bn, d), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), lambda i, m: (i, m),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), x2d.dtype),
+            jax.ShapeDtypeStruct((n, mdim), jnp.bfloat16),
+        ),
         scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -121,7 +130,7 @@ def _fwd(x2d, w1, b1, w2, b2):
 # ----------------------------------------------------- backward: dx kernel
 
 
-def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref, dx_ref, acc_ref,
+def _bwd_dx_kernel(u_ref, w1_ref, w2_ref, do_ref, dx_ref, du_ref, acc_ref,
                    *, n_m):
     m = pl.program_id(1)
 
@@ -129,17 +138,15 @@ def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref, dx_ref, acc_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    u = (
-        jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
-        + b1_ref[0].astype(jnp.float32)
-    )
     dh = jax.lax.dot_general(
         do_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bn, bm) = do @ w2^T
-    du = dh * _gelu_grad(u)
+    du = dh * _gelu_grad(u_ref[...].astype(jnp.float32))
+    du_bf = du.astype(du_ref.dtype)
+    du_ref[...] = du_bf
     acc_ref[...] += jax.lax.dot_general(
-        du.astype(x_ref.dtype), w1_ref[...], (((1,), (1,)), ((), ())),
+        du_bf, w1_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # du @ w1^T
 
@@ -148,10 +155,10 @@ def _bwd_dx_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref, dx_ref, acc_ref,
         dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
 
 
-# ------------------------------------------------ backward: dw/db kernels
+# ------------------------------------------------ backward: dw/db kernel
 
 
-def _bwd_dw_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
+def _bwd_dw_kernel(x_ref, u_ref, du_ref, do_ref,
                    dw1_ref, db1_ref, dw2_ref, dw1_acc, db1_acc, dw2_acc,
                    *, n_r):
     r = pl.program_id(1)
@@ -162,23 +169,17 @@ def _bwd_dw_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
         db1_acc[...] = jnp.zeros_like(db1_acc)
         dw2_acc[...] = jnp.zeros_like(dw2_acc)
 
-    u = (
-        jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
-        + b1_ref[0].astype(jnp.float32)
-    )
-    h = _gelu(u)
-    dh = jax.lax.dot_general(
-        do_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    du = dh * _gelu_grad(u)
+    du = du_ref[...]
+    h = _gelu(u_ref[...].astype(jnp.float32)).astype(do_ref.dtype)
     dw1_acc[...] += jax.lax.dot_general(
-        x_ref[...], du.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        x_ref[...], du, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # x^T @ du
-    db1_acc[...] += jnp.sum(du, axis=0, keepdims=True)
+    db1_acc[...] += jnp.sum(
+        du.astype(jnp.float32), axis=0, keepdims=True
+    )
     dw2_acc[...] += jax.lax.dot_general(
-        h.astype(do_ref.dtype), do_ref[...], (((0,), (0,)), ((), ())),
+        h, do_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # h^T @ do
 
@@ -189,41 +190,45 @@ def _bwd_dw_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
         dw2_ref[...] = dw2_acc[...].astype(dw2_ref.dtype)
 
 
-def _bwd(x2d, w1, b1, w2, do2d):
-    b1 = b1.reshape(1, -1)
+def _bwd(x2d, u, w1, w2, do2d):
     n, d = x2d.shape
     mdim = w1.shape[1]
     bn = _pick_block(n, 512, 8)
     bm = _pick_block(mdim, 512, 128)
     n_m, n_r = mdim // bm, n // bn
 
-    dx = pl.pallas_call(
+    dx, du = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, n_m=n_m),
         grid=(n_r, n_m),
         in_specs=[
-            pl.BlockSpec((bn, d), lambda i, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), lambda i, m: (i, m), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, bm), lambda i, m: (0, m), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i, m: (0, m), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, d), lambda i, m: (m, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda i, m: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, d), lambda i, m: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d), x2d.dtype),
+        out_specs=(
+            pl.BlockSpec((bn, d), lambda i, m: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), lambda i, m: (i, m),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), x2d.dtype),
+            jax.ShapeDtypeStruct((n, mdim), jnp.bfloat16),
+        ),
         scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(x2d, w1, b1, w2, do2d)
+    )(u, w1, w2, do2d)
 
     dw1, db1, dw2 = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, n_r=n_r),
         grid=(n_m, n_r),
         in_specs=[
             pl.BlockSpec((bn, d), lambda m, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bm), lambda m, i: (0, m), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda m, i: (0, m), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, d), lambda m, i: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), lambda m, i: (i, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bm), lambda m, i: (i, m), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda m, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -244,7 +249,7 @@ def _bwd(x2d, w1, b1, w2, do2d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(x2d, w1, b1, w2, do2d)
+    )(x2d, u, du, do2d)
     return dx, dw1, db1, dw2
 
 
@@ -253,16 +258,18 @@ def _bwd(x2d, w1, b1, w2, do2d):
 
 @jax.custom_vjp
 def _fused_mlp(x2d, w1, b1, w2, b2):
-    return _fwd(x2d, w1, b1, w2, b2)
+    out, _ = _fwd(x2d, w1, b1, w2, b2)
+    return out
 
 
 def _vjp_fwd(x2d, w1, b1, w2, b2):
-    return _fwd(x2d, w1, b1, w2, b2), (x2d, w1, b1, w2)
+    out, u = _fwd(x2d, w1, b1, w2, b2)
+    return out, (x2d, u, w1, b1, w2)
 
 
 def _vjp_bwd(saved, g):
-    x2d, w1, b1, w2 = saved
-    dx, dw1, db1, dw2 = _bwd(x2d, w1, b1, w2, g)
+    x2d, u, w1, b1, w2 = saved
+    dx, dw1, db1, dw2 = _bwd(x2d, u, w1, w2, g)
     db2 = jnp.sum(g.astype(jnp.float32), axis=0)
     return (
         dx,

@@ -94,8 +94,27 @@ class Trainer:
         steps = steps if steps is not None else cfg.total_steps
         start = int(self.state["step"])
         meter = Throughput()
-        last_metrics = {}
+
+        try:
+            self._fit_loop(train_batches, eval_batches_fn, steps, start, meter)
+        except (KeyboardInterrupt, Exception):
+            # failure recovery (SURVEY.md §5): persist the last completed
+            # step before propagating, so --resume continues from here
+            # (regardless of the periodic checkpoint cadence)
+            if self.state is not None:
+                step_now = int(self.state["step"])
+                if step_now > start:
+                    self.ckpt.save(step_now, jax.device_get(self.state))
+                    self.ckpt.wait()
+            raise
+        if self._ckpt is not None:
+            self._ckpt.wait()
+        return self._last_metrics
+
+    def _fit_loop(self, train_batches, eval_batches_fn, steps, start, meter):
+        cfg = self.cfg
         last_val_loss = float("inf")
+        self._last_metrics = {}
 
         for step in range(start, steps):
             batch = next(train_batches)
@@ -109,7 +128,7 @@ class Trainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["images_per_sec"] = meter.rate()
                 self.logger.log(step + 1, host, prefix="train/")
-                last_metrics = host
+                self._last_metrics = host
                 meter.reset()
 
             if eval_batches_fn and (step + 1) % cfg.eval_every == 0:
@@ -132,10 +151,6 @@ class Trainer:
                     step + 1, jax.device_get(self.state),
                     metrics={"val_loss": last_val_loss},
                 )
-
-        if self._ckpt is not None:
-            self._ckpt.wait()
-        return last_metrics
 
     # -------------------------------------------------------------- eval
     def evaluate(self, batches: Iterator[dict]) -> dict:

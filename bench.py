@@ -89,6 +89,49 @@ def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     return train_ips, eval_ips, state
 
 
+def bench_detect(batch_size: int = 32, steps: int = 10):
+    """The reference's own training configuration (DeiT 400d detector,
+    batch 32 — /root/reference/train.py:1345-1392) as a train step."""
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+    from arsvt_tpu.train.detect_step import make_detector_step_fns
+
+    cfg = TRAIN_PRESETS["deit_detector_ref"].with_overrides(
+        batch_size=batch_size, augment="detection", canvas=256,
+        max_objects=25,
+    )
+    init_fn, train_step, _ = make_detector_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(
+            rng.uniform(size=(batch_size, 256, 256, 3)).astype(np.float32)
+        ),
+        "boxes": jnp.asarray(
+            np.tile(np.array([0.2, 0.2, 0.6, 0.6], np.float32),
+                    (batch_size, 25, 1))
+        ),
+        "labels": jnp.asarray(
+            rng.integers(0, 6, (batch_size, 25)), jnp.int32
+        ),
+        "mask": jnp.asarray(
+            np.arange(25)[None, :] < rng.integers(1, 6, (batch_size, 1))
+        ),
+    }
+    base_rng = jax.random.PRNGKey(1)
+    state, m = train_step(state, batch, base_rng)
+    float(m["loss"])
+    state, m = train_step(state, batch, base_rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, batch, base_rng)
+    float(m["loss"])
+    det_ips = batch_size * steps / (time.perf_counter() - t0)
+    log(f"detector (reference config, on-device Hungarian): "
+        f"{det_ips:.1f} img/s, loss={float(m['loss']):.3f}")
+    return det_ips
+
+
 def bench_streaming(state):
     from arsvt_tpu.evaluation.classify import StreamingClassifier
     from arsvt_tpu.models.registry import get_preset
@@ -111,6 +154,11 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     train_ips, eval_ips, state = bench_train()
     stats = bench_streaming(state)
+    try:
+        det_ips = bench_detect()
+    except Exception as e:  # secondary metric must not sink the bench
+        log(f"detector bench failed: {str(e)[:200]}")
+        det_ips = None
     result = {
         "metric": "images/sec/chip (ViT-B/16 fine-tune train step, bf16, "
                   "fused on-device augmentation)",
@@ -119,6 +167,9 @@ def main():
         "vs_baseline": round(train_ips / TARGET, 3),
         "eval_images_per_sec": round(eval_ips, 1),
         "classify_p50_ms": round(stats["p50_ms"], 2),
+        "detector_train_images_per_sec": (
+            round(det_ips, 1) if det_ips else None
+        ),
     }
     print(json.dumps(result))
 
