@@ -31,19 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _pad_to(x, seq: int, dim: int):
-    b, h, s, d = x.shape
-    if s == seq and d == dim:
-        return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, seq - s), (0, dim - d)))
 
 
 # ------------------------------------------------------------------ forward

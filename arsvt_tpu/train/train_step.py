@@ -12,9 +12,7 @@ by the trainer at log cadence).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
