@@ -37,11 +37,13 @@ def apply_image_classifier(
     rng=None,
     force_reference: bool = False,
     remat: bool = False,
+    remat_policy: str = "full",
 ):
     """images (B, H, W, C) -> logits (B, num_classes) fp32."""
     tokens = apply_backbone(
         params["backbone"], images, backbone_cfg,
         train=train, rng=rng, force_reference=force_reference, remat=remat,
+        remat_policy=remat_policy,
     )
     head_cfg = ClassifierConfig(
         num_classes=num_classes, distilled=backbone_cfg.distilled

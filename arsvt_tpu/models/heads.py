@@ -166,30 +166,25 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
 
     # self-attention over queries
     y = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"])
-    qkv = (jnp.dot(y, bp["self_attn"]["qkv"]["kernel"].astype(y.dtype),
-                   preferred_element_type=jnp.float32)
-           + bp["self_attn"]["qkv"]["bias"]).astype(x.dtype)
+    qkv = (jnp.dot(y, bp["self_attn"]["qkv"]["kernel"].astype(y.dtype))
+           + bp["self_attn"]["qkv"]["bias"].astype(x.dtype))
     # decoder self-attn is tiny (Q<=100 queries): the packed-reference path
     # is cheaper than a kernel launch
     sa = self_attention_from_qkv(qkv, cfg.num_heads, force_reference=True)
-    sa = (jnp.dot(sa, bp["self_attn"]["proj"]["kernel"].astype(sa.dtype),
-                  preferred_element_type=jnp.float32)
-          + bp["self_attn"]["proj"]["bias"]).astype(x.dtype)
+    sa = (jnp.dot(sa, bp["self_attn"]["proj"]["kernel"].astype(sa.dtype))
+          + bp["self_attn"]["proj"]["bias"].astype(x.dtype))
     x = x + dropout(sa, cfg.dropout, k1, train=train)
 
     # cross-attention to patch tokens
     yq = layer_norm(x, bp["ln_cross_q"]["scale"], bp["ln_cross_q"]["bias"])
     ykv = layer_norm(memory, bp["ln_cross_kv"]["scale"], bp["ln_cross_kv"]["bias"])
-    xq = (jnp.dot(yq, bp["cross_attn"]["q"]["kernel"].astype(yq.dtype),
-                  preferred_element_type=jnp.float32)
-          + bp["cross_attn"]["q"]["bias"]).astype(x.dtype)
-    xkv = (jnp.dot(ykv, bp["cross_attn"]["kv"]["kernel"].astype(ykv.dtype),
-                   preferred_element_type=jnp.float32)
-           + bp["cross_attn"]["kv"]["bias"]).astype(x.dtype)
+    xq = (jnp.dot(yq, bp["cross_attn"]["q"]["kernel"].astype(yq.dtype))
+          + bp["cross_attn"]["q"]["bias"].astype(x.dtype))
+    xkv = (jnp.dot(ykv, bp["cross_attn"]["kv"]["kernel"].astype(ykv.dtype))
+           + bp["cross_attn"]["kv"]["bias"].astype(x.dtype))
     ca = _mha_from_proj(xq, xkv, cfg.num_heads, head_dim, force_reference)
-    ca = (jnp.dot(ca, bp["cross_attn"]["proj"]["kernel"].astype(ca.dtype),
-                  preferred_element_type=jnp.float32)
-          + bp["cross_attn"]["proj"]["bias"]).astype(x.dtype)
+    ca = (jnp.dot(ca, bp["cross_attn"]["proj"]["kernel"].astype(ca.dtype))
+          + bp["cross_attn"]["proj"]["bias"].astype(x.dtype))
     x = x + dropout(ca, cfg.dropout, k2, train=train)
 
     # FFN

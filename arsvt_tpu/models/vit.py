@@ -144,17 +144,17 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
         k1, k2 = jax.random.split(rng)
 
     y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
+    # linears emit the storage dtype directly (MXU still accumulates fp32
+    # internally); keeps "dots"-policy residuals bf16 instead of fp32
     qkv = (
-        jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype),
-                preferred_element_type=jnp.float32)
-        + bp["attn"]["qkv"]["bias"]
-    ).astype(x.dtype)
+        jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype))
+        + bp["attn"]["qkv"]["bias"].astype(x.dtype)
+    )
     attn = self_attention_from_qkv(qkv, h, force_reference=force_reference)
     attn = (
-        jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype),
-                preferred_element_type=jnp.float32)
-        + bp["attn"]["proj"]["bias"]
-    ).astype(x.dtype)
+        jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype))
+        + bp["attn"]["proj"]["bias"].astype(x.dtype)
+    )
     x = x + dropout(attn, cfg.dropout, k1, train=train)
 
     y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
@@ -178,11 +178,19 @@ def apply_backbone(
     rng=None,
     force_reference: bool = False,
     remat: bool = False,
+    remat_policy: str = "full",
 ):
     """images: (B, H, W, C) -> all tokens (B, S, D) after the final LN.
 
     Like the reference backbones, returns *all* tokens (special + patches);
     heads decide what to strip (train.py:842, evaluation.py:234).
+
+    remat_policy (active when remat=True):
+      "full"  save only block inputs; recompute everything in backward
+              (minimum memory, +1 fwd of FLOPs)
+      "dots"  save matmul outputs (bf16), recompute only elementwise ops
+              — ~25% fewer backward FLOPs than "full" for ~8 GB of
+              residuals at ViT-B bs256
     """
     b = images.shape[0]
     x = patch_embed(
@@ -214,11 +222,12 @@ def apply_backbone(
         )
 
     if remat:
-        # save only block inputs; recompute attention/MLP internals in the
-        # backward pass (HBM for FLOPs — SURVEY.md §0 "jax.checkpoint")
-        block_apply = jax.checkpoint(
-            block_apply, policy=jax.checkpoint_policies.nothing_saveable
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat_policy == "dots"
+            else jax.checkpoint_policies.nothing_saveable
         )
+        block_apply = jax.checkpoint(block_apply, policy=policy)
 
     def body(carry, xs):
         x, rng = carry

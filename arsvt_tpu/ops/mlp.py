@@ -13,6 +13,38 @@ import jax.numpy as jnp
 
 from arsvt_tpu.ops.dispatch import use_fused_mlp
 
+_C = 0.7978845608028654  # sqrt(2/pi)
+_A = 0.044715
+
+
+@jax.custom_vjp
+def gelu_tanh(u):
+    """tanh-approx GELU with a compact VJP.
+
+    XLA's autodiff of `jax.nn.gelu` saves ~4 tensor-sized internal
+    intermediates (polynomial terms, tanh output) per call — measured 4 x
+    3.5 GB per ViT-B step at batch 256. This saves exactly `u` and applies
+    the closed-form derivative in backward.
+    """
+    t = jnp.tanh(_C * (u + _A * u * u * u))
+    return 0.5 * u * (1.0 + t)
+
+
+def _gelu_fwd(u):
+    return gelu_tanh(u), u
+
+
+def _gelu_bwd(u, g):
+    uf = u.astype(jnp.float32)
+    t = jnp.tanh(_C * (uf + _A * uf * uf * uf))
+    d = 0.5 * (1.0 + t) + 0.5 * uf * (1.0 - t * t) * _C * (
+        1.0 + 3.0 * _A * uf * uf
+    )
+    return ((g.astype(jnp.float32) * d).astype(u.dtype),)
+
+
+gelu_tanh.defvjp(_gelu_fwd, _gelu_bwd)
+
 
 def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
     """x: (..., D); w1: (D, M); w2: (M, D). Returns (..., D) in x.dtype."""
@@ -20,16 +52,10 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
         from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
 
         return fused_gelu_mlp(x, w1, b1, w2, b2)
-    u = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
-        jnp.float32
-    )
-    # cast the GELU input to the storage dtype BEFORE the activation: XLA's
-    # autodiff then saves bf16 residuals (u and h) instead of fp32 — halves
-    # the dominant per-layer activation memory at no numerics cost that
-    # matters (gelu'(u) in bf16 ulp), making no-remat training reachable.
-    u = u.astype(x.dtype)
-    h = jax.nn.gelu(u, approximate=True)
-    out = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(
-        jnp.float32
-    )
-    return out.astype(x.dtype)
+    # both GEMMs emit the storage dtype directly (the MXU accumulates fp32
+    # internally either way); with bf16 inputs every saved residual — u, h,
+    # the fc2 output — is bf16, not fp32.
+    u = jnp.dot(x, w1) + b1.astype(x.dtype)
+    h = gelu_tanh(u)
+    out = jnp.dot(h, w2) + b2.astype(x.dtype)
+    return out

@@ -110,6 +110,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         logits = apply_image_classifier(
             compute_params, images, backbone_cfg, num_classes,
             train=True, rng=rng, remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
         )
         loss = softmax_cross_entropy(
             logits, labels, num_classes=num_classes,
