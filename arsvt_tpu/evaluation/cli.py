@@ -71,6 +71,8 @@ def main(argv=None):
     if cfg.task == "detect":
         from arsvt_tpu.evaluation.detect import evaluate_detector
 
+        if args.visualize:
+            _visualize_first_batches(trainer, ds, cfg, args)
         batches = detection_batches(
             ds, batch_size=args.batch_size, canvas=cfg.canvas,
             max_objects=cfg.max_objects, repeat=False, shuffle=False,
@@ -94,6 +96,39 @@ def main(argv=None):
         json.dump({"step": int(step), "split": args.split, **results}, f,
                   indent=1)
     return results
+
+
+def _visualize_first_batches(trainer, ds, cfg, args):
+    """The reference's first-batches PNG dump (evaluation.py:505-519)."""
+    from arsvt_tpu.data.pipeline import detection_batches
+    from arsvt_tpu.evaluation.detect import post_process
+    from arsvt_tpu.evaluation.visualize import visualize_batch
+
+    n_batches = max(1, (args.visualize + 1) // 2)
+    it = detection_batches(
+        ds, batch_size=args.batch_size, canvas=cfg.canvas,
+        max_objects=cfg.max_objects, repeat=False, shuffle=False,
+        drop_remainder=False,
+    )
+    saved = []
+    for bi, batch in enumerate(it):
+        if bi >= n_batches:
+            break
+        m = trainer.eval_step(trainer.state["params"], batch)
+        out = m["outputs"]
+        posts = post_process(
+            out["class_logits"], out["boxes_cxcywh"],
+            conf_threshold=args.conf_threshold,
+            nms_threshold=args.nms_threshold,
+        )
+        saved += visualize_batch(
+            batch["image"], posts,
+            {"boxes": batch["boxes"], "labels": batch["labels"],
+             "mask": batch["mask"]},
+            out_dir="eval_visualizations", batch_index=bi, max_images=2,
+        )
+    print(f"wrote {len(saved)} visualizations to eval_visualizations/",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -130,7 +130,11 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
                 prec_interp[ri] = precision[mask].max() if mask.any() else 0.0
             ap_table[ti, ci] = prec_interp.mean()
 
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # all-NaN rows (classes absent from the split) are expected
+        warnings.simplefilter("ignore", category=RuntimeWarning)
         per_class = np.nanmean(ap_table, axis=0)
         ap50 = np.nanmean(ap_table[0])
         ap75 = np.nanmean(ap_table[5]) if len(iou_thresholds) > 5 else np.nan

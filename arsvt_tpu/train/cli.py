@@ -118,7 +118,12 @@ def main(argv=None):
     from arsvt_tpu.train.trainer import Trainer
     from arsvt_tpu.utils.logging import MetricLogger
 
-    trainer = Trainer(cfg, logger=MetricLogger(out_dir="."))
+    import dataclasses as _dc
+
+    trainer = Trainer(
+        cfg,
+        logger=MetricLogger(out_dir=".", run_config=_dc.asdict(cfg)),
+    )
 
     if args.resume:
         start = trainer.maybe_resume()

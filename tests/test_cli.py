@@ -1,0 +1,67 @@
+"""CLI end-to-end smoke: train via the CLI, then evaluate the checkpoint
+via the eval CLI (with visualizations) — both as in-process calls."""
+
+import json
+import os
+
+import pytest
+
+from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    return make_synthetic_coco(
+        str(tmp_path_factory.mktemp("clicoco")), images_per_split=8,
+        image_size=32, max_boxes=2,
+    )
+
+
+def test_train_then_eval_cli_detection(coco_root, tmp_path, monkeypatch):
+    from arsvt_tpu.evaluation import cli as eval_cli
+    from arsvt_tpu.train import cli as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpt")
+    last = train_cli.main([
+        "--train-preset", "smoke",
+        "--preset", "detector_test", "--task", "detect",
+        "--data-dir", coco_root, "--batch-size", "4",
+        "--total-steps", "4", "--checkpoint-every", "4",
+        "--log-every", "2", "--canvas", "32", "--max-objects", "4",
+        "--checkpoint-dir", ckpt_dir, "--bf16", "false",
+    ])
+    assert "loss" in last
+
+    results = eval_cli.main([
+        "--checkpoint-dir", ckpt_dir, "--data-dir", coco_root,
+        "--split", "valid", "--batch-size", "4",
+        "--conf-threshold", "0.05", "--visualize", "2",
+        "--out", str(tmp_path / "res.json"),
+    ])
+    assert "mAP" in results
+    saved = json.load(open(tmp_path / "res.json"))
+    assert saved["split"] == "valid"
+    viz = os.listdir(tmp_path / "eval_visualizations")
+    assert len(viz) >= 1
+
+
+def test_train_then_eval_cli_classification(coco_root, tmp_path, monkeypatch):
+    from arsvt_tpu.evaluation import cli as eval_cli
+    from arsvt_tpu.train import cli as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpt_cls")
+    train_cli.main([
+        "--train-preset", "smoke", "--data-dir", coco_root,
+        "--batch-size", "4", "--total-steps", "4",
+        "--checkpoint-every", "4", "--log-every", "2", "--canvas", "32",
+        "--image-size", "32", "--augment", "crop_flip",
+        "--checkpoint-dir", ckpt_dir, "--bf16", "false",
+    ])
+    results = eval_cli.main([
+        "--checkpoint-dir", ckpt_dir, "--data-dir", coco_root,
+        "--split", "valid", "--batch-size", "4",
+        "--out", str(tmp_path / "res_cls.json"),
+    ])
+    assert "accuracy" in results and "confusion" in results
