@@ -15,8 +15,6 @@ import argparse
 import json
 import sys
 
-import jax
-
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="arsvt_tpu evaluator")
@@ -49,7 +47,6 @@ def main(argv=None):
     print(f"checkpoint step {step}: preset={cfg.preset} task={cfg.task}",
           file=sys.stderr)
 
-    from arsvt_tpu.train.checkpoint import CheckpointManager
     from arsvt_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg.with_overrides(checkpoint_dir=args.checkpoint_dir))

@@ -16,8 +16,6 @@ Layout notes:
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import jax.numpy as jnp
 

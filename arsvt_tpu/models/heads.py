@@ -25,7 +25,6 @@ reference, on purpose:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from arsvt_tpu.ops.attention import (
 )
 from arsvt_tpu.ops.layernorm import layer_norm
 from arsvt_tpu.ops.mlp import gelu_mlp
-from arsvt_tpu.models.vit import BackboneConfig, _linear_init, _trunc_normal, dropout
+from arsvt_tpu.models.vit import _linear_init, _trunc_normal, dropout
 
 
 # ---------------------------------------------------------------- classifier

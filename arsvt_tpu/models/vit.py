@@ -28,10 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.ops.attention import (
-    multi_head_attention,
-    self_attention_from_qkv,
-)
+from arsvt_tpu.ops.attention import self_attention_from_qkv
 from arsvt_tpu.ops.layernorm import layer_norm
 from arsvt_tpu.ops.mlp import gelu_mlp
 from arsvt_tpu.ops.patch_embed import patch_embed

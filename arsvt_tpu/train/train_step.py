@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from arsvt_tpu.core.dtypes import Policy, DEFAULT_POLICY, FP32_POLICY
+from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
 from arsvt_tpu.models.classifier import (
     apply_image_classifier,
     init_image_classifier,
@@ -29,7 +29,7 @@ from arsvt_tpu.objectives.classification import (
     mixup,
     softmax_cross_entropy,
 )
-from arsvt_tpu.parallel.sharding import shard_batch, shard_params
+from arsvt_tpu.parallel.sharding import shard_params
 from arsvt_tpu.train.config import TrainConfig, resolve_backbone
 from arsvt_tpu.train.optim import make_optimizer
 

@@ -9,7 +9,6 @@ and the plateau scheduler is explicit functional state.
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Iterator
 
 import jax
