@@ -54,6 +54,9 @@ def make_mesh(
     slice, SURVEY.md §4).
     """
     if devices is None:
+        import os
+
+        platform = platform or os.environ.get("ARSVT_PLATFORM") or None
         devices = jax.devices(platform) if platform else jax.devices()
     config = config or MeshConfig()
     data, model = config.resolve(len(devices))

@@ -90,11 +90,20 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every array in a batch pytree with its leading dim on ``data``."""
+    """Place every array in a batch pytree with its leading dim on ``data``.
+
+    Remainder batches (eval tails with drop_remainder=False) whose leading
+    dim does not divide the data axis are replicated instead — slower for
+    that one batch, but correct on any mesh shape.
+    """
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+
     def place(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
-        )
+        if x.ndim >= 1 and x.shape[0] % n_data == 0:
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, batch)
 

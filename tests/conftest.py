@@ -14,6 +14,9 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 os.environ.setdefault("ARSVT_DISABLE_PALLAS", "1")
+# default meshes in tests (Trainer without an explicit mesh, CLI paths) must
+# use the fake CPU devices, not the real TPU
+os.environ.setdefault("ARSVT_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 

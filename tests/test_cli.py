@@ -12,7 +12,7 @@ from arsvt_tpu.data.synthetic import make_synthetic_coco
 @pytest.fixture(scope="module")
 def coco_root(tmp_path_factory):
     return make_synthetic_coco(
-        str(tmp_path_factory.mktemp("clicoco")), images_per_split=8,
+        str(tmp_path_factory.mktemp("clicoco")), images_per_split=24,
         image_size=32, max_boxes=2,
     )
 
@@ -26,7 +26,7 @@ def test_train_then_eval_cli_detection(coco_root, tmp_path, monkeypatch):
     last = train_cli.main([
         "--train-preset", "smoke",
         "--preset", "detector_test", "--task", "detect",
-        "--data-dir", coco_root, "--batch-size", "4",
+        "--data-dir", coco_root, "--batch-size", "8",
         "--total-steps", "4", "--checkpoint-every", "4",
         "--log-every", "2", "--canvas", "32", "--max-objects", "4",
         "--checkpoint-dir", ckpt_dir, "--bf16", "false",
@@ -35,7 +35,7 @@ def test_train_then_eval_cli_detection(coco_root, tmp_path, monkeypatch):
 
     results = eval_cli.main([
         "--checkpoint-dir", ckpt_dir, "--data-dir", coco_root,
-        "--split", "valid", "--batch-size", "4",
+        "--split", "valid", "--batch-size", "8",
         "--conf-threshold", "0.05", "--visualize", "2",
         "--out", str(tmp_path / "res.json"),
     ])
@@ -54,14 +54,14 @@ def test_train_then_eval_cli_classification(coco_root, tmp_path, monkeypatch):
     ckpt_dir = str(tmp_path / "ckpt_cls")
     train_cli.main([
         "--train-preset", "smoke", "--data-dir", coco_root,
-        "--batch-size", "4", "--total-steps", "4",
+        "--batch-size", "8", "--total-steps", "4",
         "--checkpoint-every", "4", "--log-every", "2", "--canvas", "32",
         "--image-size", "32", "--augment", "crop_flip",
         "--checkpoint-dir", ckpt_dir, "--bf16", "false",
     ])
     results = eval_cli.main([
         "--checkpoint-dir", ckpt_dir, "--data-dir", coco_root,
-        "--split", "valid", "--batch-size", "4",
+        "--split", "valid", "--batch-size", "8",
         "--out", str(tmp_path / "res_cls.json"),
     ])
     assert "accuracy" in results and "confusion" in results
