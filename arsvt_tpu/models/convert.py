@@ -185,3 +185,129 @@ def load_torch_state(path: str) -> dict:
     if "state_dict" in state:
         state = state["state_dict"]
     return {k: v.numpy() for k, v in state.items()}
+
+
+# ------------------------------------------------- reference .pth detectors
+
+
+def from_reference_detector_state(state: dict, det_cfg) -> dict:
+    """Convert a checkpoint saved by the REFERENCE repo's training script
+    (/root/reference/train.py:1647-1654 `model_state_dict` of
+    `DeiTObjectDetector`) into this framework's detector pytree.
+
+    The backbone converts exactly — the reference's
+    `DataEfficientImageTransformer` (train.py:637-688) and our DeiT backbone
+    share structure (pre-LN blocks, CLS+DIST tokens, fused qkv). The DETR
+    decoder converts best-effort: the reference uses torch's post-LN
+    `nn.TransformerDecoderLayer` (train.py:701-708) while ours is pre-LN
+    with a separate cross-attention KV norm, and its box head was trained
+    on raw-sigmoid corner coordinates while ours is cxcywh — expect to
+    fine-tune after conversion; the backbone transfer is the value.
+    """
+    import dataclasses as _dc
+
+    state = {k: np.asarray(v) for k, v in state.items()}
+    if "state_dict" in state:
+        state = state["state_dict"]
+    bb_cfg = det_cfg.backbone
+    s = {k[len("backbone."):]: v for k, v in state.items()
+         if k.startswith("backbone.")}
+
+    layers = []
+    for i in range(bb_cfg.depth):
+        p = f"transformer_blocks.{i}."
+        layers.append({
+            "ln1": {"scale": s[p + "layer_norm1.weight"],
+                    "bias": s[p + "layer_norm1.bias"]},
+            "attn": {
+                "qkv": {"kernel": _t(s[p + "attention.qkv.weight"]),
+                        "bias": s[p + "attention.qkv.bias"]},
+                "proj": {"kernel": _t(s[p + "attention.projection.weight"]),
+                         "bias": s[p + "attention.projection.bias"]},
+            },
+            "ln2": {"scale": s[p + "layer_norm2.weight"],
+                    "bias": s[p + "layer_norm2.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(s[p + "mlp.linear1.weight"]),
+                        "bias": s[p + "mlp.linear1.bias"]},
+                "fc2": {"kernel": _t(s[p + "mlp.linear2.weight"]),
+                        "bias": s[p + "mlp.linear2.bias"]},
+            },
+        })
+    backbone = {
+        "patch_embed": {
+            "kernel": jnp.asarray(
+                _conv_to_matmul(s["patch_embedding.projection.weight"])
+            ),
+            "bias": jnp.asarray(s["patch_embedding.projection.bias"]),
+        },
+        "cls_token": jnp.asarray(s["cls_token"]),
+        "dist_token": jnp.asarray(s["dist_token"]),
+        "pos_embed": jnp.asarray(s["position_embedding"]),
+        "blocks": _stack(layers),
+        "ln_f": {"scale": jnp.asarray(s["layer_norm.weight"]),
+                 "bias": jnp.asarray(s["layer_norm.bias"])},
+    }
+    _check_shapes(backbone, bb_cfg)
+
+    # decoder: approximate structural transfer (see docstring)
+    d = bb_cfg.embed_dim
+    h = det_cfg.head
+    dec_layers = []
+    for i in range(h.depth):
+        p = f"detection_head.decoder.layers.{i}."
+        in_w = state[p + "self_attn.in_proj_weight"]   # (3D, D)
+        in_b = state[p + "self_attn.in_proj_bias"]
+        x_w = state[p + "multihead_attn.in_proj_weight"]
+        x_b = state[p + "multihead_attn.in_proj_bias"]
+        dec_layers.append({
+            "ln_self": {"scale": state[p + "norm1.weight"],
+                        "bias": state[p + "norm1.bias"]},
+            "self_attn": {
+                "qkv": {"kernel": _t(in_w), "bias": in_b},
+                "proj": {"kernel": _t(state[p + "self_attn.out_proj.weight"]),
+                         "bias": state[p + "self_attn.out_proj.bias"]},
+            },
+            "ln_cross_q": {"scale": state[p + "norm2.weight"],
+                           "bias": state[p + "norm2.bias"]},
+            # the reference has no KV norm; identity init
+            "ln_cross_kv": {"scale": np.ones(d, np.float32),
+                            "bias": np.zeros(d, np.float32)},
+            "cross_attn": {
+                "q": {"kernel": _t(x_w[:d]), "bias": x_b[:d]},
+                "kv": {"kernel": _t(x_w[d:]), "bias": x_b[d:]},
+                "proj": {
+                    "kernel": _t(state[p + "multihead_attn.out_proj.weight"]),
+                    "bias": state[p + "multihead_attn.out_proj.bias"],
+                },
+            },
+            "ln_mlp": {"scale": state[p + "norm3.weight"],
+                       "bias": state[p + "norm3.bias"]},
+            "mlp": {
+                "fc1": {"kernel": _t(state[p + "linear1.weight"]),
+                        "bias": state[p + "linear1.bias"]},
+                "fc2": {"kernel": _t(state[p + "linear2.weight"]),
+                        "bias": state[p + "linear2.bias"]},
+            },
+        })
+    detr = {
+        "queries": jnp.asarray(state["detection_head.object_queries"]),
+        "blocks": _stack(dec_layers),
+        "ln_f": {"scale": jnp.ones((d,), jnp.float32),
+                 "bias": jnp.zeros((d,), jnp.float32)},
+        "class_head": {
+            "kernel": jnp.asarray(_t(state["detection_head.class_head.weight"])),
+            "bias": jnp.asarray(state["detection_head.class_head.bias"]),
+        },
+        "bbox_head": {
+            "kernel": jnp.asarray(_t(state["detection_head.bbox_head.weight"])),
+            "bias": jnp.asarray(state["detection_head.bbox_head.bias"]),
+        },
+    }
+    out = {"backbone": backbone, "detr": detr}
+    if "triplet_projection.weight" in state:
+        out["triplet_proj"] = {
+            "kernel": jnp.asarray(_t(state["triplet_projection.weight"])),
+            "bias": jnp.asarray(state["triplet_projection.bias"]),
+        }
+    return out

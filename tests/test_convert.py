@@ -105,3 +105,81 @@ def test_config_mismatch_raises():
     }
     with pytest.raises(ValueError, match="does not match config"):
         from_pretrained_state(state, cfg)
+
+
+def test_reference_detector_checkpoint_converts():
+    """Synthetic state dict with the reference's exact key names/shapes
+    (DeiTObjectDetector, train.py:798-850) -> our detector pytree."""
+    from arsvt_tpu.models.convert import from_reference_detector_state
+    from arsvt_tpu.models.detector import apply_detector
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+
+    det = DETECTOR_PRESETS["detector_test"]  # 32d/2L deit + 2L decoder
+    bb = det.backbone
+    d, depth, mlp = bb.embed_dim, bb.depth, bb.mlp_dim
+    q, hdepth, ffn, c = (det.head.num_queries, det.head.depth,
+                         det.head.ffn_dim, det.head.num_classes)
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return rng.normal(0, 0.02, shape).astype(np.float32)
+
+    state = {
+        "backbone.patch_embedding.projection.weight": w(d, 3, bb.patch_size,
+                                                        bb.patch_size),
+        "backbone.patch_embedding.projection.bias": w(d),
+        "backbone.cls_token": w(1, 1, d),
+        "backbone.dist_token": w(1, 1, d),
+        "backbone.position_embedding": w(1, bb.seq_len, d),
+        "backbone.layer_norm.weight": w(d),
+        "backbone.layer_norm.bias": w(d),
+        "triplet_projection.weight": w(det.triplet_dim, d),
+        "triplet_projection.bias": w(det.triplet_dim),
+        "detection_head.object_queries": w(q, d),
+        "detection_head.class_head.weight": w(c + 1, d),
+        "detection_head.class_head.bias": w(c + 1),
+        "detection_head.bbox_head.weight": w(4, d),
+        "detection_head.bbox_head.bias": w(4),
+    }
+    for i in range(depth):
+        p = f"backbone.transformer_blocks.{i}."
+        state.update({
+            p + "attention.qkv.weight": w(3 * d, d),
+            p + "attention.qkv.bias": w(3 * d),
+            p + "attention.projection.weight": w(d, d),
+            p + "attention.projection.bias": w(d),
+            p + "mlp.linear1.weight": w(mlp, d),
+            p + "mlp.linear1.bias": w(mlp),
+            p + "mlp.linear2.weight": w(d, mlp),
+            p + "mlp.linear2.bias": w(d),
+            p + "layer_norm1.weight": w(d), p + "layer_norm1.bias": w(d),
+            p + "layer_norm2.weight": w(d), p + "layer_norm2.bias": w(d),
+        })
+    for i in range(hdepth):
+        p = f"detection_head.decoder.layers.{i}."
+        state.update({
+            p + "self_attn.in_proj_weight": w(3 * d, d),
+            p + "self_attn.in_proj_bias": w(3 * d),
+            p + "self_attn.out_proj.weight": w(d, d),
+            p + "self_attn.out_proj.bias": w(d),
+            p + "multihead_attn.in_proj_weight": w(3 * d, d),
+            p + "multihead_attn.in_proj_bias": w(3 * d),
+            p + "multihead_attn.out_proj.weight": w(d, d),
+            p + "multihead_attn.out_proj.bias": w(d),
+            p + "linear1.weight": w(ffn, d), p + "linear1.bias": w(ffn),
+            p + "linear2.weight": w(d, ffn), p + "linear2.bias": w(d),
+            p + "norm1.weight": w(d), p + "norm1.bias": w(d),
+            p + "norm2.weight": w(d), p + "norm2.bias": w(d),
+            p + "norm3.weight": w(d), p + "norm3.bias": w(d),
+        })
+
+    params = from_reference_detector_state(state, det)
+    assert "dist_token" in params["backbone"]
+    out, feats = apply_detector(
+        params, jnp.zeros((2, bb.image_size, bb.image_size, 3)), det,
+        return_features=True,
+    )
+    assert out["class_logits"].shape == (2, q, c + 1)
+    assert out["boxes_cxcywh"].shape == (2, q, 4)
+    assert feats.shape == (2, det.triplet_dim)
+    assert np.isfinite(np.asarray(out["class_logits"])).all()

@@ -240,3 +240,25 @@ def test_prefetcher_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         next(it)
         next(it)
+
+
+def test_augmentation_deterministic_under_fixed_key():
+    """SURVEY §4: augmentation determinism under fixed PRNG keys."""
+    key = jax.random.PRNGKey(42)
+    img = jax.random.uniform(jax.random.fold_in(key, 1), (64, 64, 3))
+    boxes = jnp.array([[0.2, 0.2, 0.7, 0.7]])
+    mask = jnp.array([True])
+    cfg = DetectionAugmentConfig(image_size=32)
+    out1 = detection_train_augment(key, img, boxes, mask, cfg)
+    out2 = detection_train_augment(key, img, boxes, mask, cfg)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different key -> different augmentation
+    out3 = detection_train_augment(jax.random.fold_in(key, 9), img, boxes,
+                                   mask, cfg)
+    assert not np.allclose(np.asarray(out1[0]), np.asarray(out3[0]))
+
+    ccfg = ClassifyAugmentConfig(image_size=32, rand_augment=True)
+    c1 = classification_train_augment(key, img, ccfg)
+    c2 = classification_train_augment(key, img, ccfg)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
