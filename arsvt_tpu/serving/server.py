@@ -1,0 +1,220 @@
+"""HTTP inference server for the physical sorter loop.
+
+The reference has no serving story at all (its eval script batch-processes
+a directory); BASELINE.json's config #5 asks for a "streaming sorter loop:
+JPEG decode→preprocess→classify single-image pipeline". This wraps the
+streaming paths in a stdlib HTTP server (no extra dependencies):
+
+    POST /classify   body = JPEG/PNG bytes -> {"class", "class_name",
+                     "probs", "latency_ms"}
+    POST /detect     body = JPEG/PNG bytes -> {"boxes", "labels",
+                     "scores", "class_names"}
+    GET  /healthz    -> {"status": "ok", "backend": ...}
+    GET  /stats      -> rolling latency percentiles
+
+Single worker thread drives the TPU (requests serialize; the model forward
+is ~ms, so throughput is bounded by decode + HTTP, not the chip). Start:
+
+    server = InferenceServer.from_checkpoint("checkpoints")
+    server.serve(port=8000)          # blocking
+    server.start_background()        # or threaded
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+
+class InferenceServer:
+    def __init__(self, *, classifier=None, detector=None):
+        """Pass a StreamingClassifier and/or StreamingDetector."""
+        if classifier is None and detector is None:
+            raise ValueError("need a classifier and/or a detector")
+        self._clf = classifier
+        self._det = detector
+        self._lock = threading.Lock()  # serialize device access
+        self._httpd = None
+
+    # ------------------------------------------------------------ factory
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, *, step: int | None = None):
+        """Build the right streaming engine from a training checkpoint."""
+        import orbax.checkpoint as ocp
+
+        from arsvt_tpu.train.config import TrainConfig
+        from arsvt_tpu.train.trainer import Trainer
+
+        mgr = ocp.CheckpointManager(checkpoint_dir)
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
+        cfg_json = mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )["config"]["train_config"]
+        mgr.close()
+        cfg = TrainConfig.from_json(cfg_json)
+        trainer = Trainer(cfg.with_overrides(checkpoint_dir=checkpoint_dir))
+        trainer.init_state()
+        trainer.state, _ = trainer.ckpt.restore(trainer.state, step=step)
+        params = trainer.state["params"]
+
+        if cfg.task == "detect":
+            from arsvt_tpu.evaluation.classify import StreamingDetector
+            from arsvt_tpu.train.config import resolve_detector
+
+            return cls(detector=StreamingDetector(
+                params, resolve_detector(cfg)
+            ))
+        from arsvt_tpu.evaluation.classify import StreamingClassifier
+        from arsvt_tpu.train.config import resolve_backbone
+
+        return cls(classifier=StreamingClassifier(
+            params, resolve_backbone(cfg), cfg.num_classes
+        ))
+
+    # ----------------------------------------------------------- handlers
+    def _decode(self, body: bytes):
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(io.BytesIO(body)).convert("RGB"), np.float32
+        ) / 255.0
+        return img
+
+    def _classify(self, body: bytes) -> dict:
+        from arsvt_tpu.data.pipeline import letterbox
+        from arsvt_tpu.data.augment import normalize
+        import jax.numpy as jnp
+        import time
+
+        t0 = time.perf_counter()
+        img, _ = letterbox(self._decode(body), self._clf._cfg.image_size)
+        with self._lock:
+            idx, name, probs = self._clf(normalize(jnp.asarray(img)))
+        return {
+            "class": int(idx),
+            "class_name": name,
+            "probs": [round(float(p), 4) for p in probs],
+            "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+        }
+
+    def _detect(self, body: bytes) -> dict:
+        import tempfile
+        import os
+
+        # StreamingDetector's public surface is path-based (sorter cameras
+        # write frames); spool the upload
+        with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+            f.write(body)
+            path = f.name
+        try:
+            with self._lock:
+                out = self._det.detect_path(path)
+        finally:
+            os.unlink(path)
+        return {
+            "boxes": np.asarray(out["boxes"]).round(4).tolist(),
+            "labels": np.asarray(out["labels"]).tolist(),
+            "scores": np.asarray(out["scores"]).round(4).tolist(),
+            "class_names": out["class_names"],
+        }
+
+    def _stats(self) -> dict:
+        stats = {}
+        if self._clf is not None:
+            stats["classify"] = self._clf.latency_stats()
+        if self._det is not None:
+            stats["detect"] = self._det.latency_stats()
+        return stats
+
+    # -------------------------------------------------------------- serve
+    def _make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "endpoints": [
+                            p for p, ok in (
+                                ("/classify", server_self._clf),
+                                ("/detect", server_self._det),
+                            ) if ok is not None
+                        ],
+                    })
+                elif self.path == "/stats":
+                    self._send(200, server_self._stats())
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                try:
+                    if self.path == "/classify" and server_self._clf:
+                        self._send(200, server_self._classify(body))
+                    elif self.path == "/detect" and server_self._det:
+                        self._send(200, server_self._detect(body))
+                    else:
+                        self._send(404, {"error": "unknown path"})
+                except Exception as e:  # undecodable image etc.
+                    self._send(400, {"error": str(e)[:200]})
+
+        return Handler
+
+    def serve(self, *, host: str = "127.0.0.1", port: int = 8000):
+        self._httpd = ThreadingHTTPServer(
+            (host, port), self._make_handler()
+        )
+        self._httpd.serve_forever()
+
+    def start_background(self, *, host: str = "127.0.0.1", port: int = 8000):
+        self._httpd = ThreadingHTTPServer(
+            (host, port), self._make_handler()
+        )
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="arsvt_tpu inference server")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    server = InferenceServer.from_checkpoint(
+        args.checkpoint_dir, step=args.step
+    )
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(POST /classify|/detect, GET /healthz|/stats)")
+    server.serve(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Serving: HTTP classify/detect endpoints end-to-end over a real socket."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from arsvt_tpu.evaluation.classify import StreamingClassifier, StreamingDetector
+from arsvt_tpu.models.classifier import init_image_classifier
+from arsvt_tpu.models.detector import init_detector
+from arsvt_tpu.models.registry import DETECTOR_PRESETS, get_preset
+from arsvt_tpu.serving.server import InferenceServer
+
+
+def _jpeg_bytes(size=32):
+    img = Image.fromarray(
+        (np.random.default_rng(0).uniform(size=(size, size, 3)) * 255)
+        .astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax.numpy as jnp
+
+    cfg = get_preset("vit_test_8_32")
+    clf = StreamingClassifier(
+        init_image_classifier(jax.random.PRNGKey(0), cfg, 6), cfg, 6,
+        compute_dtype=jnp.float32,
+    )
+    dcfg = DETECTOR_PRESETS["detector_test"]
+    det = StreamingDetector(
+        init_detector(jax.random.PRNGKey(0), dcfg), dcfg,
+        compute_dtype=jnp.float32, conf_threshold=0.01,
+    )
+    srv = InferenceServer(classifier=clf, detector=det)
+    host, port = srv.start_background(port=0)
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["status"] == "ok"
+    assert "/classify" in data["endpoints"]
+    assert "/detect" in data["endpoints"]
+
+
+def test_classify_endpoint(server):
+    status, data = _post(server + "/classify", _jpeg_bytes())
+    assert status == 200
+    assert data["class_name"] in (
+        "glass", "paper", "cardboard", "plastic", "metal", "trash"
+    )
+    assert abs(sum(data["probs"]) - 1.0) < 1e-3
+    assert data["latency_ms"] > 0
+
+
+def test_detect_endpoint(server):
+    status, data = _post(server + "/detect", _jpeg_bytes())
+    assert status == 200
+    assert len(data["boxes"]) == len(data["scores"]) == len(data["labels"])
+
+
+def test_bad_payload_is_400(server):
+    status = None
+    try:
+        status, _ = _post(server + "/classify", b"this is not an image")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_stats_after_requests(server):
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["classify"]["n"] >= 1
