@@ -140,7 +140,48 @@ inline int reflect101(int i, int n) {
 
 // Bilinear resize (nh, nw) then center reflect-pad into the canvas; writes
 // fp32 RGB [0,1] into out (canvas*canvas*3). Returns scale/pads via meta.
-void letterbox_into(const Image& img, int canvas, float* out, float* meta) {
+//
+// The resize is SEPARABLE (horizontal pass into a (h, nw) temp, then
+// vertical pass) with per-axis coefficients precomputed once — the naive
+// per-output-pixel 4-tap gather thrashed the cache and fell off a cliff
+// (223 -> 7 img/s) once the working set passed ~1.5 MB.
+void letterbox_into(const Image& img_in, int canvas, float* out, float* meta) {
+  // Antialias large downscales: 2-tap bilinear aliases badly past ~2x, so
+  // box-reduce by the integer factor first (PIL/cv2 area semantics), then
+  // bilinear the remainder.
+  Image reduced;
+  const Image* img_p = &img_in;
+  {
+    const float s0 = float(canvas) / float(std::max(img_in.w, img_in.h));
+    const int k = std::max(1, int(1.0f / std::max(s0, 1e-6f)));
+    if (k >= 2) {
+      const int rw = std::max(1, img_in.w / k), rh = std::max(1, img_in.h / k);
+      reduced.w = rw;
+      reduced.h = rh;
+      reduced.rgb.resize(size_t(rw) * rh * 3);
+      const float inv = 1.0f / float(k * k);
+      for (int y = 0; y < rh; y++) {
+        for (int x = 0; x < rw; x++) {
+          int acc[3] = {0, 0, 0};
+          for (int dy = 0; dy < k; dy++) {
+            const uint8_t* row =
+                &img_in.rgb[(size_t(y * k + dy) * img_in.w + x * k) * 3];
+            for (int dx = 0; dx < k; dx++) {
+              acc[0] += row[dx * 3 + 0];
+              acc[1] += row[dx * 3 + 1];
+              acc[2] += row[dx * 3 + 2];
+            }
+          }
+          uint8_t* dst = &reduced.rgb[(size_t(y) * rw + x) * 3];
+          dst[0] = uint8_t(std::lround(acc[0] * inv));
+          dst[1] = uint8_t(std::lround(acc[1] * inv));
+          dst[2] = uint8_t(std::lround(acc[2] * inv));
+        }
+      }
+      img_p = &reduced;
+    }
+  }
+  const Image& img = *img_p;
   const int w = img.w, h = img.h;
   const float scale = float(canvas) / float(std::max(w, h));
   const int nw = std::max(1, int(std::lround(w * scale)));
@@ -148,30 +189,52 @@ void letterbox_into(const Image& img, int canvas, float* out, float* meta) {
   const int pad_x = (canvas - nw) / 2;
   const int pad_y = (canvas - nh) / 2;
 
-  // resized row cache is not needed: compute output pixels directly.
+  // precompute taps (align_corners=False, matches PIL/cv2 bilinear)
   const float sx = float(w) / nw, sy = float(h) / nh;
-  std::vector<float> resized(size_t(nh) * nw * 3);
+  std::vector<int> x0(nw), x1(nw);
+  std::vector<float> wx(nw);
+  for (int x = 0; x < nw; x++) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int xi = int(std::floor(fx));
+    wx[x] = fx - xi;
+    x0[x] = std::clamp(xi, 0, w - 1);
+    x1[x] = std::clamp(xi + 1, 0, w - 1);
+  }
+  std::vector<int> y0(nh), y1(nh);
+  std::vector<float> wy(nh);
   for (int y = 0; y < nh; y++) {
-    // align_corners=False convention (matches PIL/cv2 bilinear)
     float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = int(std::floor(fy));
-    float wy = fy - y0;
-    int y0c = std::clamp(y0, 0, h - 1), y1c = std::clamp(y0 + 1, 0, h - 1);
+    int yi = int(std::floor(fy));
+    wy[y] = fy - yi;
+    y0[y] = std::clamp(yi, 0, h - 1);
+    y1[y] = std::clamp(yi + 1, 0, h - 1);
+  }
+
+  // horizontal pass: (h, w) -> (h, nw), sequential reads and writes
+  std::vector<float> hpass(size_t(h) * nw * 3);
+  for (int y = 0; y < h; y++) {
+    const uint8_t* src = &img.rgb[size_t(y) * w * 3];
+    float* dst = &hpass[size_t(y) * nw * 3];
     for (int x = 0; x < nw; x++) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = int(std::floor(fx));
-      float wx = fx - x0;
-      int x0c = std::clamp(x0, 0, w - 1), x1c = std::clamp(x0 + 1, 0, w - 1);
-      const uint8_t* p00 = &img.rgb[(size_t(y0c) * w + x0c) * 3];
-      const uint8_t* p01 = &img.rgb[(size_t(y0c) * w + x1c) * 3];
-      const uint8_t* p10 = &img.rgb[(size_t(y1c) * w + x0c) * 3];
-      const uint8_t* p11 = &img.rgb[(size_t(y1c) * w + x1c) * 3];
-      float* dst = &resized[(size_t(y) * nw + x) * 3];
-      for (int c = 0; c < 3; c++) {
-        float top = p00[c] * (1 - wx) + p01[c] * wx;
-        float bot = p10[c] * (1 - wx) + p11[c] * wx;
-        dst[c] = (top * (1 - wy) + bot * wy) * (1.0f / 255.0f);
-      }
+      const uint8_t* a = &src[size_t(x0[x]) * 3];
+      const uint8_t* b = &src[size_t(x1[x]) * 3];
+      const float t = wx[x];
+      dst[x * 3 + 0] = a[0] + (b[0] - a[0]) * t;
+      dst[x * 3 + 1] = a[1] + (b[1] - a[1]) * t;
+      dst[x * 3 + 2] = a[2] + (b[2] - a[2]) * t;
+    }
+  }
+
+  // vertical pass: (h, nw) -> (nh, nw), two sequential row reads per row
+  std::vector<float> resized(size_t(nh) * nw * 3);
+  constexpr float inv255 = 1.0f / 255.0f;
+  for (int y = 0; y < nh; y++) {
+    const float* a = &hpass[size_t(y0[y]) * nw * 3];
+    const float* b = &hpass[size_t(y1[y]) * nw * 3];
+    const float t = wy[y];
+    float* dst = &resized[size_t(y) * nw * 3];
+    for (int i = 0; i < nw * 3; i++) {
+      dst[i] = (a[i] + (b[i] - a[i]) * t) * inv255;
     }
   }
   for (int y = 0; y < canvas; y++) {
@@ -187,7 +250,10 @@ void letterbox_into(const Image& img, int canvas, float* out, float* meta) {
       d[2] = s[2];
     }
   }
-  meta[0] = scale;
+  // scale reported against the ORIGINAL dims (box transforms recompute
+  // nw/nh from it); with the box prefilter the internal dims may differ by
+  // <=1px of rounding, which is negligible for boxes.
+  meta[0] = float(canvas) / float(std::max(img_in.w, img_in.h));
   meta[1] = float(pad_x);
   meta[2] = float(pad_y);
   meta[3] = 1.0f;  // ok
