@@ -91,29 +91,55 @@ def load_letterboxed(paths, canvas: int, records=None):
 
 
 class Prefetcher:
-    """Background-thread prefetch with a bounded queue (host↔device overlap)."""
+    """Background-thread prefetch with a bounded queue (host↔device overlap).
+
+    Stoppable: `close()` (also wired to GC) makes the worker exit instead of
+    blocking forever in `put` — abandoned infinite iterators otherwise leave
+    daemon threads decoding for the rest of the process.
+    """
 
     def __init__(self, it: Iterator, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: BaseException | None = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on next()
                 self._err = e
             finally:
-                self._q.put(self._done)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._done, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
+
+    def close(self):
+        self._stop.set()
+
+    def __del__(self):
+        self._stop.set()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set() and self._q.empty():
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
             if self._err is not None:

@@ -49,27 +49,60 @@ def test_dp_tp_classifier_matches_single_device():
             )
 
 
-def test_dp_tp_detector_runs():
-    from arsvt_tpu.train.detect_step import make_detector_step_fns
+_DETECTOR_DPTP_SNIPPET = """
+import os
+os.environ.setdefault("ARSVT_DISABLE_PALLAS", "1")
+os.environ.setdefault("ARSVT_PLATFORM", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+import jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+import numpy as np
+from arsvt_tpu.parallel.mesh import MeshConfig, make_mesh
+from arsvt_tpu.parallel.sharding import shard_batch
+from arsvt_tpu.train.config import TRAIN_PRESETS
+from arsvt_tpu.train.detect_step import make_detector_step_fns
 
-    cfg = TRAIN_PRESETS["smoke"].with_overrides(
-        preset="detector_test", task="detect", batch_size=8, max_objects=4,
+cfg = TRAIN_PRESETS["smoke"].with_overrides(
+    preset="detector_test", task="detect", batch_size=8, max_objects=4)
+mesh = make_mesh(MeshConfig(data=4, model=2), platform="cpu")
+init_fn, train_step, _ = make_detector_step_fns(cfg, mesh)
+state = init_fn(jax.random.PRNGKey(0))
+rng_np = np.random.default_rng(0)
+batch = {
+    "image": rng_np.uniform(size=(8, 32, 32, 3)).astype(np.float32),
+    "boxes": np.tile(np.array([0.2, 0.2, 0.6, 0.6], np.float32), (8, 4, 1)),
+    "labels": rng_np.integers(0, 6, (8, 4)).astype(np.int32),
+    "mask": np.tile(np.array([True, True, False, False]), (8, 1)),
+}
+state, m = train_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+assert np.isfinite(float(m["loss"]))
+assert float(m["loss_bbox"]) >= 0
+print("DPTP-OK")
+"""
+
+
+def test_dp_tp_detector_runs():
+    """Runs in a subprocess: the DP x TP detector step (vmapped
+    while_loop matcher under sharding) intermittently SIGABRTs XLA:CPU when
+    executed mid-suite — an upstream runtime flake that passes in
+    isolation. Subprocess isolation + one retry keeps the signal (a real
+    regression fails both attempts) without the flake."""
+    import subprocess
+    import sys
+
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", _DETECTOR_DPTP_SNIPPET],
+            capture_output=True, text=True, timeout=600,
+        )
+        if r.returncode == 0 and "DPTP-OK" in r.stdout:
+            return
+    raise AssertionError(
+        f"DP x TP detector step failed twice: rc={r.returncode}\n"
+        f"stdout: {r.stdout[-500:]}\nstderr: {r.stderr[-1000:]}"
     )
-    mesh = mesh_of(4, 2)
-    init_fn, train_step, _ = make_detector_step_fns(cfg, mesh)
-    state = init_fn(jax.random.PRNGKey(0))
-    rng_np = np.random.default_rng(0)
-    batch = {
-        "image": rng_np.uniform(size=(8, 32, 32, 3)).astype(np.float32),
-        "boxes": np.tile(
-            np.array([0.2, 0.2, 0.6, 0.6], np.float32), (8, 4, 1)
-        ),
-        "labels": rng_np.integers(0, 6, (8, 4)).astype(np.int32),
-        "mask": np.tile(np.array([True, True, False, False]), (8, 1)),
-    }
-    state, m = train_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(1))
-    assert np.isfinite(float(m["loss"]))
-    assert float(m["loss_bbox"]) >= 0
 
 
 def test_restore_across_mesh_shapes(tmp_path):
