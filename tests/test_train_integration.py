@@ -134,3 +134,31 @@ def test_streaming_classifier():
     np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)
     stats = clf.latency_stats()
     assert stats["n"] == 1 and stats["p50_ms"] > 0
+
+
+def test_jitted_step_loss_matches_unjitted():
+    """SURVEY §4: jitted train-step loss parity vs un-jitted computation."""
+    import jax.numpy as jnp
+
+    from arsvt_tpu.models.classifier import apply_image_classifier
+    from arsvt_tpu.objectives.classification import softmax_cross_entropy
+    from arsvt_tpu.train.config import TRAIN_PRESETS, resolve_backbone
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False)
+    init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0xA11))
+    batch = next(
+        synthetic_classification_batches(batch_size=8, image_size=32, seed=1)
+    )
+    # compute the manual (un-jitted) value FIRST: train_step donates the
+    # state, invalidating its buffers afterwards
+    bb = resolve_backbone(cfg)
+    logits = apply_image_classifier(
+        state["params"], jnp.asarray(batch["image"]), bb, cfg.num_classes,
+        train=True, rng=jax.random.fold_in(jax.random.PRNGKey(0), 0),
+    )
+    manual = float(softmax_cross_entropy(
+        logits, jnp.asarray(batch["label"]), num_classes=cfg.num_classes
+    ))
+    _, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), manual, rtol=1e-5)
