@@ -49,6 +49,7 @@ def apply_detector(
     return_features: bool = False,
     force_reference: bool = False,
     remat: bool = False,
+    return_aux: bool = False,
 ):
     """images (B,H,W,C) -> outputs dict; optionally + L2-normed triplet feats.
 
@@ -63,10 +64,16 @@ def apply_detector(
     )
     n_special = cfg.backbone.num_special_tokens
     memory = tokens[:, n_special:]  # strip CLS [+DIST] (train.py:842)
-    outputs = apply_detr_head(
+    head_out = apply_detr_head(
         params["detr"], memory, cfg.head, cfg.backbone.embed_dim,
         train=train, rng=rng_h, force_reference=force_reference,
+        return_aux=return_aux,
     )
+    if return_aux:
+        outputs, aux = head_out
+        outputs = dict(outputs, aux=aux)
+    else:
+        outputs = head_out
     if not return_features:
         return outputs
     cls_feat = tokens[:, 0].astype(jnp.float32)

@@ -206,9 +206,15 @@ def apply_detr_head(
     train: bool = False,
     rng=None,
     force_reference: bool = False,
+    return_aux: bool = False,
 ):
     """memory: patch tokens (B, N, D) -> {'class_logits': (B, Q, C+1),
     'boxes_cxcywh': (B, Q, 4) in [0,1]}.
+
+    `return_aux=True` additionally returns per-intermediate-layer outputs
+    ({'class_logits': (L-1, B, Q, C+1), 'boxes_cxcywh': (L-1, B, Q, 4)})
+    through the SHARED heads — DETR's deep supervision, which the reference
+    lacks and which is what makes decoder training converge.
     """
     if embed_dim % cfg.num_heads:
         raise ValueError("embed_dim must divide detr num_heads")
@@ -226,21 +232,28 @@ def apply_detr_head(
             layer_rng = jax.random.fold_in(rng, idx)
         x = _decoder_block(x, memory, bp, cfg, head_dim, train=train,
                            rng=layer_rng, force_reference=force_reference)
-        return (x, rng), None
+        return (x, rng), x
 
-    (x, _), _ = jax.lax.scan(
+    (x, _), layer_states = jax.lax.scan(
         body, (x, rng), (params["blocks"], jnp.arange(cfg.depth))
     )
-    x = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])
 
-    class_logits = (
-        jnp.dot(x, params["class_head"]["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32)
-        + params["class_head"]["bias"]
-    ).astype(jnp.float32)
-    boxes = jax.nn.sigmoid(
-        (jnp.dot(x, params["bbox_head"]["kernel"].astype(x.dtype),
-                 preferred_element_type=jnp.float32)
-         + params["bbox_head"]["bias"]).astype(jnp.float32)
-    )
-    return {"class_logits": class_logits, "boxes_cxcywh": boxes}
+    def heads(h):
+        h = layer_norm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
+        class_logits = (
+            jnp.dot(h, params["class_head"]["kernel"].astype(h.dtype),
+                    preferred_element_type=jnp.float32)
+            + params["class_head"]["bias"]
+        ).astype(jnp.float32)
+        boxes = jax.nn.sigmoid(
+            (jnp.dot(h, params["bbox_head"]["kernel"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+             + params["bbox_head"]["bias"]).astype(jnp.float32)
+        )
+        return {"class_logits": class_logits, "boxes_cxcywh": boxes}
+
+    outputs = heads(x)
+    if not return_aux or cfg.depth < 2:
+        return outputs
+    aux = jax.vmap(heads)(layer_states[:-1])  # (L-1, B, Q, ...)
+    return outputs, aux

@@ -69,6 +69,7 @@ class TrainConfig:
     background_weight: float = 0.1           # train.py:1215-1217
     triplet_margin: float = 0.3              # train.py:1370
     max_objects: int = 25                    # padded targets per image
+    aux_loss: bool = True                    # DETR deep supervision
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True, indent=1)

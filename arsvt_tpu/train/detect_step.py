@@ -101,9 +101,23 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
             images.astype(policy.compute_dtype),
             det_cfg,
             train=True, rng=rng, return_features=True, remat=cfg.remat,
+            return_aux=cfg.aux_loss,
         )
         targets = {"boxes": boxes, "labels": batch["labels"], "mask": mask}
+        aux = outputs.pop("aux", None)
         total, parts = detection_loss(outputs, targets, loss_cfg, feats)
+        if aux is not None:
+            # DETR deep supervision: every intermediate decoder layer gets
+            # the same (independently matched) loss; the reference has no
+            # equivalent and its decoder trains poorly for it
+            for li in range(det_cfg.head.depth - 1):
+                aux_out = {
+                    "class_logits": aux["class_logits"][li],
+                    "boxes_cxcywh": aux["boxes_cxcywh"][li],
+                }
+                aux_total, _ = detection_loss(aux_out, targets, loss_cfg)
+                total = total + aux_total
+            parts = dict(parts, total=total)
         return total, parts
 
     @partial(jax.jit, donate_argnums=(0,))

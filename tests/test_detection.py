@@ -132,3 +132,42 @@ def test_detection_train_smoke(tmp_path, cpu_mesh):
         num_classes=6, conf_threshold=0.1,
     )
     assert "mAP" in ev and np.isfinite(ev["loss"])
+
+
+def test_detr_aux_outputs_and_loss(cpu_mesh):
+    """DETR deep supervision: aux outputs exist and increase the loss."""
+    from arsvt_tpu.models.detector import apply_detector, init_detector
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+    from arsvt_tpu.train.detect_step import make_detector_step_fns
+    from arsvt_tpu.parallel.sharding import shard_batch
+
+    det = DETECTOR_PRESETS["detector_test"]
+    params = init_detector(jax.random.PRNGKey(0), det)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = apply_detector(params, imgs, det, return_aux=True)
+    assert out["aux"]["class_logits"].shape == (det.head.depth - 1, 2, 5, 7)
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        preset="detector_test", task="detect", batch_size=8, max_objects=4,
+    )
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "image": rng_np.uniform(size=(8, 32, 32, 3)).astype(np.float32),
+        "boxes": np.tile(np.array([0.2, 0.2, 0.6, 0.6], np.float32),
+                         (8, 4, 1)),
+        "labels": rng_np.integers(0, 6, (8, 4)).astype(np.int32),
+        "mask": np.tile(np.array([True, True, False, False]), (8, 1)),
+    }
+    losses = {}
+    for aux in (False, True):
+        init_fn, train_step, _ = make_detector_step_fns(
+            cfg.with_overrides(aux_loss=aux), cpu_mesh
+        )
+        state = init_fn(jax.random.PRNGKey(0))
+        _, m = train_step(state, shard_batch(batch, cpu_mesh),
+                          jax.random.PRNGKey(1))
+        losses[aux] = float(m["loss"])
+    # aux sums per-layer losses on top of the final-layer loss
+    assert losses[True] > losses[False]
+    assert np.isfinite(losses[True])
