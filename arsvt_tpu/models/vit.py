@@ -188,6 +188,10 @@ def apply_backbone(
       "dots"  save matmul outputs (bf16), recompute only elementwise ops
               — ~25% fewer backward FLOPs than "full" for ~8 GB of
               residuals at ViT-B bs256
+      "names" save exactly the flash-attention output/logsumexp and the
+              MLP pre-activation (checkpoint_name tags): the backward
+              replay DCEs the attention-kernel rerun and the fc2 input
+              recompute for ~5 GB of bf16 residuals
     """
     b = images.shape[0]
     x = patch_embed(
@@ -219,11 +223,14 @@ def apply_backbone(
         )
 
     if remat:
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if remat_policy == "dots"
-            else jax.checkpoint_policies.nothing_saveable
-        )
+        if remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif remat_policy == "names":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse", "mlp_u"
+            )
+        else:
+            policy = jax.checkpoint_policies.nothing_saveable
         block_apply = jax.checkpoint(block_apply, policy=policy)
 
     def body(carry, xs):

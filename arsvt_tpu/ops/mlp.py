@@ -55,7 +55,10 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
     # both GEMMs emit the storage dtype directly (the MXU accumulates fp32
     # internally either way); with bf16 inputs every saved residual — u, h,
     # the fc2 output — is bf16, not fp32.
+    from jax.ad_checkpoint import checkpoint_name
+
     u = jnp.dot(x, w1) + b1.astype(x.dtype)
+    u = checkpoint_name(u, "mlp_u")  # saved under remat_policy="names"
     h = gelu_tanh(u)
     out = jnp.dot(h, w2) + b2.astype(x.dtype)
     return out

@@ -195,6 +195,12 @@ def _flash_fwd_impl(q, k, v, kv_len, interpret):
     block_b = _pick_block_b(b, sq, sk)
     out, lse = _fwd(q, k, v, scale=scale, kv_len=kv_len,
                     block_b=block_b, interpret=interpret)
+    # checkpoint names: under remat_policy="names" (models/vit.py) these
+    # are saved, letting the backward replay DCE the forward kernel rerun
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, out, lse)
 
 
