@@ -5,8 +5,6 @@ for both tasks, checkpoint restore across different mesh shapes, and the
 driver's dryrun_multichip entry.
 """
 
-import importlib.util
-
 import jax
 import numpy as np
 import pytest
@@ -127,10 +125,36 @@ def test_restore_across_mesh_shapes(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
-def test_dryrun_multichip_entry():
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry", "__graft_entry__.py"
+def test_dryrun_multichip_entry_driver_conditions():
+    """Runs dryrun_multichip in a subprocess WITHOUT conftest's CPU pinning,
+    reproducing the driver's environment (round-1 MULTICHIP check failed
+    because conftest masked the missing pin: VERDICT.md weak #1). Only
+    XLA_FLAGS with the forced host device count is set, exactly as the
+    driver does; ARSVT_PLATFORM / JAX_PLATFORMS must NOT be needed."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "ARSVT_PLATFORM", "ARSVT_DISABLE_PALLAS")
+    }
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    assert r.returncode == 0 and "dryrun_multichip ok" in r.stdout, (
+        f"rc={r.returncode}\nstdout: {r.stdout[-500:]}\n"
+        f"stderr: {r.stderr[-2000:]}"
+    )
