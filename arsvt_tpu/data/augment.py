@@ -78,12 +78,16 @@ def adjust_hue(image, radians):
 
 def color_jitter(key, image, *, brightness=0.2, contrast=0.2, saturation=0.2,
                  hue=0.2, p=1.0):
-    """albumentations-style ColorJitter (train.py:432 uses p=0.6)."""
+    """albumentations-style ColorJitter.
+
+    `hue` follows the torchvision/albumentations convention: a shift of the
+    hue wheel in turns (0.5 = 180°), so the rotation is hue * 2π radians.
+    """
     kp, kb, kc, ks, kh = jax.random.split(key, 5)
     b = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
     c = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
     s = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
-    h = jax.random.uniform(kh, (), minval=-hue, maxval=hue) * jnp.pi
+    h = jax.random.uniform(kh, (), minval=-hue, maxval=hue) * 2.0 * jnp.pi
     out = adjust_brightness(image, b)
     out = adjust_contrast(out, c)
     out = adjust_saturation(out, s)
@@ -93,45 +97,79 @@ def color_jitter(key, image, *, brightness=0.2, contrast=0.2, saturation=0.2,
     return jnp.where(apply, out, image)
 
 
-def random_shadow(key, image, *, p=0.5, intensity=(0.4, 0.7)):
-    """Darken one side of a random line (RandomShadow, train.py:400)."""
+def random_shadow(key, image, *, p=0.5, num_shadows=(1, 3),
+                  intensity=(0.2, 0.7), roi=(0.0, 0.7, 1.0, 1.0)):
+    """1-3 darkened half-plane regions constrained to `roi`.
+
+    Parity with A.RandomShadow(shadow_roi=[0, 0.7, 1, 1],
+    num_shadows_limit=[1, 3], shadow_intensity_range=[0.2, 0.7])
+    (train.py:396-401): shadows live in the bottom 30% of the image, each
+    darkens its region by (1 - intensity), overlaps compound. The
+    reference's 5-vertex polygons become half-planes ∩ ROI here — same
+    statistics (random orientation/position/area inside the ROI), static
+    shapes for jit.
+    """
     h, w, _ = image.shape
-    kp, ka, ko, ki = jax.random.split(key, 4)
-    angle = jax.random.uniform(ka, (), minval=0.0, maxval=jnp.pi)
-    offset = jax.random.uniform(ko, (), minval=0.2, maxval=0.8)
-    factor = jax.random.uniform(
-        ki, (), minval=intensity[0], maxval=intensity[1]
-    )
+    kp, kn, krest = jax.random.split(key, 3)
+    lo, hi = num_shadows
+    n = jax.random.randint(kn, (), lo, hi + 1)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
-    side = (
-        (xx - 0.5) * jnp.cos(angle) + (yy - offset) * jnp.sin(angle)
-    ) > 0.0
-    shade = jnp.where(side[..., None], image * factor, image)
+    rx1, ry1, rx2, ry2 = roi
+    roi_mask = (xx >= rx1) & (xx < rx2) & (yy >= ry1) & (yy < ry2)
+    factor = jnp.ones((h, w), jnp.float32)
+    keys = jax.random.split(krest, hi)
+    for i in range(hi):
+        ka, kox, koy, ki = jax.random.split(keys[i], 4)
+        angle = jax.random.uniform(ka, (), minval=0.0, maxval=jnp.pi)
+        ox = jax.random.uniform(kox, (), minval=rx1, maxval=rx2)
+        oy = jax.random.uniform(koy, (), minval=ry1, maxval=ry2)
+        side = (
+            (xx - ox) * jnp.cos(angle) + (yy - oy) * jnp.sin(angle)
+        ) > 0.0
+        inten = jax.random.uniform(
+            ki, (), minval=intensity[0], maxval=intensity[1]
+        )
+        factor = factor * jnp.where(
+            side & roi_mask & (i < n), 1.0 - inten, 1.0
+        )
+    shade = image * factor[..., None]
     apply = jax.random.bernoulli(kp, p)
     return jnp.where(apply, shade, image)
 
 
-def coarse_dropout(key, image, *, p=0.25, max_holes=8, max_size=8):
-    """Zero out up to `max_holes` small rectangles (train.py:434-441)."""
+def coarse_dropout(key, image, *, p=0.25, num_holes=(1, 3),
+                   hole_height=(0.05, 0.12), hole_width=(0.05, 0.12),
+                   fill=1.0):
+    """Fill 1-3 rectangles sized 5-12% of each image side with `fill`.
+
+    Parity with A.CoarseDropout(num_holes_range=(1, 3),
+    hole_height_range=(0.05, 0.12), hole_width_range=(0.05, 0.12),
+    fill=255) (train.py:434-441) — fill 255 is white = 1.0 in [0,1] space.
+    """
     h, w, _ = image.shape
-    kp, kn, ky, kx, ksize = jax.random.split(key, 5)
-    n = jax.random.randint(kn, (), 1, max_holes + 1)
-    ys = jax.random.randint(ky, (max_holes,), 0, max(h - max_size, 1))
-    xs = jax.random.randint(kx, (max_holes,), 0, max(w - max_size, 1))
-    sizes = jax.random.randint(ksize, (max_holes, 2), max_size // 2,
-                               max_size + 1)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    kp, kn, ky, kx, kh_, kw_ = jax.random.split(key, 6)
+    lo, hi = num_holes
+    n = jax.random.randint(kn, (), lo, hi + 1)
+    hh = jax.random.uniform(
+        kh_, (hi,), minval=hole_height[0], maxval=hole_height[1]
+    ) * h
+    ww = jax.random.uniform(
+        kw_, (hi,), minval=hole_width[0], maxval=hole_width[1]
+    ) * w
+    ys = jax.random.uniform(ky, (hi,)) * (h - hh)
+    xs = jax.random.uniform(kx, (hi,)) * (w - ww)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     drop = jnp.zeros((h, w), bool)
-    for i in range(max_holes):
+    for i in range(hi):
         inside = (
-            (yy >= ys[i]) & (yy < ys[i] + sizes[i, 0])
-            & (xx >= xs[i]) & (xx < xs[i] + sizes[i, 1])
+            (yy >= ys[i]) & (yy < ys[i] + hh[i])
+            & (xx >= xs[i]) & (xx < xs[i] + ww[i])
             & (i < n)
         )
         drop = drop | inside
-    out = jnp.where(drop[..., None], 0.0, image)
+    out = jnp.where(drop[..., None], jnp.asarray(fill, image.dtype), image)
     apply = jax.random.bernoulli(kp, p)
     return jnp.where(apply, out, image)
 
@@ -287,15 +325,34 @@ def random_resized_crop(key, image, size: int, *, scale=(0.65, 1.0),
 
 @dataclasses.dataclass(frozen=True)
 class DetectionAugmentConfig:
+    """Defaults are parameter-by-parameter parity with the reference's
+    train pipeline (train.py:387-443); see tests/test_data.py's parity
+    table."""
+
     image_size: int = 224
+    # RandomShadow (train.py:396-401)
     shadow_p: float = 0.5
+    shadow_num: tuple = (1, 3)
+    shadow_intensity: tuple = (0.2, 0.7)
+    shadow_roi: tuple = (0.0, 0.7, 1.0, 1.0)
+    # HorizontalFlip / Affine (train.py:402,412-426)
     flip_p: float = 0.5
     degrees: float = 45.0
     scale: tuple = (0.95, 1.05)
     translate: float = 0.05
     shear: float = 15.0
+    # ColorJitter (train.py:427-433)
     jitter_p: float = 0.6
+    jitter_brightness: float = 0.1
+    jitter_contrast: float = 0.15
+    jitter_saturation: float = 0.2
+    jitter_hue: float = 0.03
+    # CoarseDropout (train.py:435-441)
     dropout_p: float = 0.25
+    dropout_holes: tuple = (1, 3)
+    dropout_size: tuple = (0.05, 0.12)
+    dropout_fill: float = 1.0  # reference fill=255 → 1.0 in [0,1]
+    # BboxParams (train.py:446)
     min_visibility: float = 0.1
     min_area_px: float = 1.0
 
@@ -305,15 +362,26 @@ def detection_train_augment(key, image, boxes, mask,
                             cfg: DetectionAugmentConfig = DetectionAugmentConfig()):
     """Full reference train pipeline on one (canvas-sized) image."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    image = random_shadow(k1, image, p=cfg.shadow_p)
+    image = random_shadow(
+        k1, image, p=cfg.shadow_p, num_shadows=cfg.shadow_num,
+        intensity=cfg.shadow_intensity, roi=cfg.shadow_roi,
+    )
     image, boxes = random_horizontal_flip(k2, image, boxes, p=cfg.flip_p)
     image, boxes, mask = random_affine(
         k3, image, boxes, mask, degrees=cfg.degrees, scale=cfg.scale,
         translate=cfg.translate, shear=cfg.shear,
         min_visibility=cfg.min_visibility, min_area_px=cfg.min_area_px,
     )
-    image = color_jitter(k4, image, p=cfg.jitter_p)
-    image = coarse_dropout(k5, image, p=cfg.dropout_p)
+    image = color_jitter(
+        k4, image, p=cfg.jitter_p, brightness=cfg.jitter_brightness,
+        contrast=cfg.jitter_contrast, saturation=cfg.jitter_saturation,
+        hue=cfg.jitter_hue,
+    )
+    image = coarse_dropout(
+        k5, image, p=cfg.dropout_p, num_holes=cfg.dropout_holes,
+        hole_height=cfg.dropout_size, hole_width=cfg.dropout_size,
+        fill=cfg.dropout_fill,
+    )
     if image.shape[0] != cfg.image_size:
         image = resize(image, cfg.image_size)
     return normalize(image), boxes, mask

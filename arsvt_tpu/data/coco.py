@@ -106,19 +106,28 @@ class CocoDataset:
         return len(self.records)
 
     def padded_target(self, idx: int, max_objects: int) -> dict[str, np.ndarray]:
-        """Fixed-shape target: boxes (M,4), labels (M,), mask (M,) bool."""
+        """Fixed-shape target: boxes (M,4), labels (M,), mask (M,) bool,
+        plus `area`/`iscrowd` — the reference's target dict carries both
+        end-to-end (train.py:151-157); unused by losses there and here, but
+        part of the data contract (COCO eval protocols read them)."""
         rec = self.records[idx]
         n = min(len(rec.labels), max_objects)
         boxes = np.zeros((max_objects, 4), np.float32)
         labels = np.zeros((max_objects,), np.int32)
         mask = np.zeros((max_objects,), bool)
+        area = np.zeros((max_objects,), np.float32)
+        iscrowd = np.zeros((max_objects,), np.int32)
         boxes[:n] = rec.boxes[:n]
         labels[:n] = rec.labels[:n]
         mask[:n] = True
+        area[:n] = rec.areas[:n]
+        iscrowd[:n] = rec.iscrowd[:n]
         return {
             "boxes": boxes,
             "labels": labels,
             "mask": mask,
+            "area": area,
+            "iscrowd": iscrowd,
             "image_id": np.int32(rec.image_id),
         }
 

@@ -38,8 +38,15 @@ def apply_image_classifier(
     force_reference: bool = False,
     remat: bool = False,
     remat_policy: str = "full",
+    return_heads: bool = False,
 ):
-    """images (B, H, W, C) -> logits (B, num_classes) fp32."""
+    """images (B, H, W, C) -> logits (B, num_classes) fp32.
+
+    `return_heads=True` (distilled backbones only) returns the CLS and DIST
+    head logits separately instead of their average — the training surface
+    for DeiT distillation, where the DIST head learns from the teacher and
+    the CLS head from the labels.
+    """
     tokens = apply_backbone(
         params["backbone"], images, backbone_cfg,
         train=train, rng=rng, force_reference=force_reference, remat=remat,
@@ -48,4 +55,8 @@ def apply_image_classifier(
     head_cfg = ClassifierConfig(
         num_classes=num_classes, distilled=backbone_cfg.distilled
     )
+    if return_heads:
+        return apply_classifier(
+            params["classifier"], tokens, head_cfg, return_heads=True
+        )
     return apply_classifier(params["classifier"], tokens, head_cfg)

@@ -182,9 +182,15 @@ def load_torch_state(path: str) -> dict:
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
-    if "state_dict" in state:
-        state = state["state_dict"]
-    return {k: v.numpy() for k, v in state.items()}
+    # The reference wraps weights as {'model_state_dict': ..., 'epoch': int,
+    # 'optimizer_state_dict': ..., ...} (train.py:1647-1654); HF/timm use
+    # 'state_dict' or a bare dict. Unwrap, then keep only tensor values
+    # (skip epoch/val_loss/config metadata).
+    for key in ("model_state_dict", "state_dict"):
+        if key in state and isinstance(state[key], dict):
+            state = state[key]
+            break
+    return {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
 
 
 # ------------------------------------------------- reference .pth detectors
@@ -204,11 +210,14 @@ def from_reference_detector_state(state: dict, det_cfg) -> dict:
     on raw-sigmoid corner coordinates while ours is cxcywh — expect to
     fine-tune after conversion; the backbone transfer is the value.
     """
-    import dataclasses as _dc
-
-    state = {k: np.asarray(v) for k, v in state.items()}
-    if "state_dict" in state:
-        state = state["state_dict"]
+    # unwrap the reference's checkpoint envelope BEFORE np.asarray —
+    # asarray on a nested dict produces a useless 0-d object array
+    for key in ("model_state_dict", "state_dict"):
+        if key in state and isinstance(state[key], dict):
+            state = state[key]
+            break
+    state = {k: np.asarray(v) for k, v in state.items()
+             if hasattr(v, "shape") or hasattr(v, "__array__")}
     bb_cfg = det_cfg.backbone
     s = {k[len("backbone."):]: v for k, v in state.items()
          if k.startswith("backbone.")}

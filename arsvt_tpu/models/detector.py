@@ -49,6 +49,7 @@ def apply_detector(
     return_features: bool = False,
     force_reference: bool = False,
     remat: bool = False,
+    remat_policy: str = "full",
     return_aux: bool = False,
 ):
     """images (B,H,W,C) -> outputs dict; optionally + L2-normed triplet feats.
@@ -61,6 +62,7 @@ def apply_detector(
     tokens = apply_backbone(
         params["backbone"], images, cfg.backbone,
         train=train, rng=rng_b, force_reference=force_reference, remat=remat,
+        remat_policy=remat_policy,
     )
     n_special = cfg.backbone.num_special_tokens
     memory = tokens[:, n_special:]  # strip CLS [+DIST] (train.py:842)
@@ -70,8 +72,9 @@ def apply_detector(
         return_aux=return_aux,
     )
     if return_aux:
-        outputs, aux = head_out
-        outputs = dict(outputs, aux=aux)
+        outputs, aux = head_out  # aux is None for depth-1 heads
+        if aux is not None:
+            outputs = dict(outputs, aux=aux)
     else:
         outputs = head_out
     if not return_features:

@@ -64,23 +64,35 @@ def init_classifier(key, cfg: ClassifierConfig, embed_dim: int):
     return params
 
 
-def apply_classifier(params, tokens, cfg: ClassifierConfig):
-    """tokens: (B, S, D) with CLS [, DIST] first -> logits (B, num_classes)."""
+def apply_classifier(params, tokens, cfg: ClassifierConfig,
+                     *, return_heads: bool = False):
+    """tokens: (B, S, D) with CLS [, DIST] first -> logits (B, num_classes).
+
+    Distilled backbones average the CLS and DIST head logits (standard DeiT
+    inference); `return_heads=True` returns them separately instead — the
+    distillation training surface.
+    """
     cls = tokens[:, 0]
     logits = (
         jnp.dot(cls, params["head"]["kernel"].astype(cls.dtype),
                 preferred_element_type=jnp.float32)
         + params["head"]["bias"]
-    )
+    ).astype(jnp.float32)
     if cfg.distilled and "head_dist" in params:
         dist = tokens[:, 1]
         logits_d = (
             jnp.dot(dist, params["head_dist"]["kernel"].astype(dist.dtype),
                     preferred_element_type=jnp.float32)
             + params["head_dist"]["bias"]
+        ).astype(jnp.float32)
+        if return_heads:
+            return logits, logits_d
+        return (logits + logits_d) / 2.0
+    if return_heads:
+        raise ValueError(
+            "return_heads requires a distilled backbone (DIST token + head)"
         )
-        logits = (logits + logits_d) / 2.0
-    return logits.astype(jnp.float32)
+    return logits
 
 
 # --------------------------------------------------------------- DETR head
@@ -94,6 +106,7 @@ class DetrHeadConfig:
     num_heads: int = 8            # train.py:703
     ffn_dim: int = 2048           # train.py:704
     dropout: float = 0.0
+    attn_dropout: float = 0.0     # on attention probs (see BackboneConfig)
 
 
 def init_detr_head(key, cfg: DetrHeadConfig, embed_dim: int):
@@ -147,21 +160,25 @@ def init_detr_head(key, cfg: DetrHeadConfig, embed_dim: int):
     }
 
 
-def _mha_from_proj(x_q, x_kv, num_heads, head_dim, force_reference):
+def _mha_from_proj(x_q, x_kv, num_heads, head_dim, force_reference,
+                   dropout_rate=0.0, dropout_rng=None):
     b, sq, d = x_q.shape
     sk = x_kv.shape[1]
     q = x_q.reshape(b, sq, num_heads, head_dim).transpose(0, 2, 1, 3)
     kv = x_kv.reshape(b, sk, 2, num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-    out = multi_head_attention(q, kv[0], kv[1], force_reference=force_reference)
+    out = multi_head_attention(q, kv[0], kv[1], force_reference=force_reference,
+                               dropout_rate=dropout_rate,
+                               dropout_rng=dropout_rng)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, d)
 
 
 def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
                    force_reference):
     b, q, d = x.shape
-    k1 = k2 = k3 = None
+    k1 = k2 = k3 = kp1 = kp2 = None
     if train and rng is not None:
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, kp1, kp2 = jax.random.split(rng, 5)
+    attn_rate = cfg.attn_dropout if train else 0.0
 
     # self-attention over queries
     y = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"])
@@ -169,7 +186,8 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
            + bp["self_attn"]["qkv"]["bias"].astype(x.dtype))
     # decoder self-attn is tiny (Q<=100 queries): the packed-reference path
     # is cheaper than a kernel launch
-    sa = self_attention_from_qkv(qkv, cfg.num_heads, force_reference=True)
+    sa = self_attention_from_qkv(qkv, cfg.num_heads, force_reference=True,
+                                 dropout_rate=attn_rate, dropout_rng=kp1)
     sa = (jnp.dot(sa, bp["self_attn"]["proj"]["kernel"].astype(sa.dtype))
           + bp["self_attn"]["proj"]["bias"].astype(x.dtype))
     x = x + dropout(sa, cfg.dropout, k1, train=train)
@@ -181,7 +199,8 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
           + bp["cross_attn"]["q"]["bias"].astype(x.dtype))
     xkv = (jnp.dot(ykv, bp["cross_attn"]["kv"]["kernel"].astype(ykv.dtype))
            + bp["cross_attn"]["kv"]["bias"].astype(x.dtype))
-    ca = _mha_from_proj(xq, xkv, cfg.num_heads, head_dim, force_reference)
+    ca = _mha_from_proj(xq, xkv, cfg.num_heads, head_dim, force_reference,
+                        dropout_rate=attn_rate, dropout_rng=kp2)
     ca = (jnp.dot(ca, bp["cross_attn"]["proj"]["kernel"].astype(ca.dtype))
           + bp["cross_attn"]["proj"]["bias"].astype(x.dtype))
     x = x + dropout(ca, cfg.dropout, k2, train=train)
@@ -253,7 +272,9 @@ def apply_detr_head(
         return {"class_logits": class_logits, "boxes_cxcywh": boxes}
 
     outputs = heads(x)
-    if not return_aux or cfg.depth < 2:
+    if not return_aux:
         return outputs
+    if cfg.depth < 2:
+        return outputs, None  # no intermediate layers to supervise
     aux = jax.vmap(heads)(layer_states[:-1])  # (L-1, B, Q, ...)
     return outputs, aux

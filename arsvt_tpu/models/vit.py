@@ -44,6 +44,11 @@ class BackboneConfig:
     num_heads: int = 3
     mlp_dim: int = 768
     dropout: float = 0.0
+    # dropout on the attention softmax probabilities (train.py:528,545).
+    # Nonzero routes attention to the jnp reference path during training —
+    # the flash kernel never materialises probs — so reference-config
+    # regularisation (dropout=0.1, train.py:1352) is trainable faithfully.
+    attn_dropout: float = 0.0
     distilled: bool = False  # DeiT: CLS + DIST tokens (train.py:646-648)
 
     @property
@@ -136,9 +141,9 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
     """One pre-LN block. bp: per-layer (unstacked) block params."""
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    k1 = k2 = None
+    k1 = k2 = kp = None
     if train and rng is not None:
-        k1, k2 = jax.random.split(rng)
+        k1, k2, kp = jax.random.split(rng, 3)
 
     y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
     # linears emit the storage dtype directly (MXU still accumulates fp32
@@ -147,7 +152,10 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
         jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype))
         + bp["attn"]["qkv"]["bias"].astype(x.dtype)
     )
-    attn = self_attention_from_qkv(qkv, h, force_reference=force_reference)
+    attn = self_attention_from_qkv(
+        qkv, h, force_reference=force_reference,
+        dropout_rate=cfg.attn_dropout if train else 0.0, dropout_rng=kp,
+    )
     attn = (
         jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype))
         + bp["attn"]["proj"]["bias"].astype(x.dtype)

@@ -27,7 +27,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.objectives.boxes import cxcywh_to_xyxy, elementwise_giou
+from arsvt_tpu.objectives.boxes import (
+    cxcywh_to_xyxy,
+    elementwise_giou,
+    xyxy_to_cxcywh,
+)
 from arsvt_tpu.objectives.matcher import MatcherConfig, match
 from arsvt_tpu.objectives.triplet import batch_hard_triplet_loss
 
@@ -76,13 +80,19 @@ def detection_loss(outputs, targets, cfg: DetectionLossConfig,
     weights = jnp.where(matched, 1.0, cfg.background_weight)
     loss_ce = jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-9)
 
-    # --- boxes: L1 + GIoU over matched pairs --------------------------
+    # --- boxes: L1 (cxcywh, DETR convention) + GIoU (xyxy) -------------
+    # The reference computes L1 on its raw sigmoid outputs, de-facto xyxy
+    # (train.py:1242-1278 with the corner-box head); DETR proper uses
+    # cxcywh, which weights center vs size errors evenly — our head is
+    # natively cxcywh so we follow DETR here (deliberate deviation).
     gather_boxes = jnp.take_along_axis(
         tgt_boxes, safe_idx[..., None], axis=1
     )  # (B,Q,4) xyxy
     pred_xyxy = cxcywh_to_xyxy(pred_boxes)
     num_boxes = jnp.maximum(jnp.sum(matched.astype(jnp.float32)), 1.0)
-    l1 = jnp.sum(jnp.abs(pred_xyxy - gather_boxes), axis=-1)
+    l1 = jnp.sum(
+        jnp.abs(pred_boxes - xyxy_to_cxcywh(gather_boxes)), axis=-1
+    )
     loss_bbox = jnp.sum(l1 * matched) / num_boxes
     giou = elementwise_giou(pred_xyxy, gather_boxes)
     loss_giou = jnp.sum((1.0 - giou) * matched) / num_boxes

@@ -24,7 +24,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.objectives.boxes import cxcywh_to_xyxy, pairwise_giou
+from arsvt_tpu.objectives.boxes import (
+    cxcywh_to_xyxy,
+    pairwise_giou,
+    xyxy_to_cxcywh,
+)
 
 # Pad cost must dominate any real cost (class<=1 + bbox<=4*w_bbox +
 # giou<=2 => tens) while staying small enough that fp32 addition keeps the
@@ -156,8 +160,11 @@ def build_cost_matrix(class_logits, boxes_cxcywh, tgt_labels, tgt_boxes_xyxy,
     probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
     cost_class = -probs[:, tgt_labels]  # (Q, M)
     pred_xyxy = cxcywh_to_xyxy(boxes_cxcywh)
+    # L1 cost in cxcywh, mirroring loss_bbox's DETR convention (the
+    # matcher must minimize the same quantity the loss penalizes)
+    tgt_cxcywh = xyxy_to_cxcywh(tgt_boxes_xyxy)
     cost_bbox = jnp.sum(
-        jnp.abs(pred_xyxy[:, None, :] - tgt_boxes_xyxy[None, :, :]), axis=-1
+        jnp.abs(boxes_cxcywh[:, None, :] - tgt_cxcywh[None, :, :]), axis=-1
     )
     cost_giou = -pairwise_giou(pred_xyxy, tgt_boxes_xyxy)
     cost = (

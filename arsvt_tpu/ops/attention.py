@@ -22,11 +22,16 @@ import jax.numpy as jnp
 from arsvt_tpu.ops.dispatch import use_pallas
 
 
-def sdpa_reference(q, k, v, *, mask=None):
+def sdpa_reference(q, k, v, *, mask=None, dropout_rate: float = 0.0,
+                   dropout_rng=None):
     """Scaled dot-product attention, fp32 softmax island.
 
     q: (B, H, Sq, d), k/v: (B, H, Sk, d); mask: broadcastable to
     (B, H, Sq, Sk) with True = attend. Returns (B, H, Sq, d) in q.dtype.
+
+    dropout_rate/dropout_rng: inverted dropout on the softmax
+    probabilities — the reference applies it inside every attention
+    (/root/reference/train.py:545); off unless both are given.
     """
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
@@ -36,6 +41,10 @@ def sdpa_reference(q, k, v, *, mask=None):
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.asarray(-1e30, scores.dtype))
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        dmask = jax.random.bernoulli(dropout_rng, keep, probs.shape)
+        probs = jnp.where(dmask, probs / keep, 0.0)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
         probs.astype(v.dtype),
@@ -45,17 +54,29 @@ def sdpa_reference(q, k, v, *, mask=None):
     return out.astype(q.dtype)
 
 
-def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False):
-    """Dispatching SDPA: Pallas flash attention on TPU, jnp reference elsewhere."""
-    if force_reference or not use_pallas():
-        return sdpa_reference(q, k, v, mask=mask)
+def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False,
+                         dropout_rate: float = 0.0, dropout_rng=None):
+    """Dispatching SDPA: Pallas flash attention on TPU, jnp reference elsewhere.
+
+    Nonzero attention-probability dropout routes to the jnp reference path
+    (the flash kernel never materialises probabilities, so prob dropout is
+    incompatible with it by construction — keeps the kernel exact).
+    """
+    dropping = dropout_rate > 0.0 and dropout_rng is not None
+    if dropping or force_reference or not use_pallas():
+        return sdpa_reference(
+            q, k, v, mask=mask,
+            dropout_rate=dropout_rate if dropping else 0.0,
+            dropout_rng=dropout_rng,
+        )
     from arsvt_tpu.ops.pallas.flash_attention import flash_attention
 
     return flash_attention(q, k, v, mask=mask)
 
 
 def self_attention_from_qkv(qkv_flat, num_heads: int,
-                            *, force_reference: bool = False):
+                            *, force_reference: bool = False,
+                            dropout_rate: float = 0.0, dropout_rng=None):
     """Packed self-attention: (B, S, 3D) projection output -> (B, S, D).
 
     On TPU this dispatches to the transpose-free fused-QKV Pallas kernel
@@ -73,6 +94,7 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     # the copy savings. Kept for future tuning; this path dispatches to the
     # flash kernel through multi_head_attention.
     out = multi_head_attention(
-        qkv[0], qkv[1], qkv[2], force_reference=force_reference
+        qkv[0], qkv[1], qkv[2], force_reference=force_reference,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
     )
     return out.transpose(0, 2, 1, 3).reshape(b, s, d)

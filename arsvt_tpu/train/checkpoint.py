@@ -44,12 +44,20 @@ class CheckpointManager:
             self._dir, options=ocp.CheckpointManagerOptions(**options)
         )
 
-    def save(self, step: int, state: dict, *, metrics: dict | None = None):
+    def save(self, step: int, state: dict, *, metrics: dict | None = None,
+             extra: dict | None = None):
+        """`extra`: small JSON-able host-side state saved alongside the
+        device state — e.g. the plateau controller's counters, which the
+        reference's scheduler kept as hidden mutable state and lost on
+        every restart (it had no resume at all, train.py:1644-1667)."""
+        blob = {"train_config": self._cfg.to_json()}
+        if extra:
+            blob["extra"] = extra
         self._mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
-                config=ocp.args.JsonSave({"train_config": self._cfg.to_json()}),
+                config=ocp.args.JsonSave(blob),
             ),
             metrics=metrics,
         )
@@ -78,6 +86,8 @@ class CheckpointManager:
             step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
         )
         saved_cfg = TrainConfig.from_json(cfg_only["config"]["train_config"])
+        # host-side extras (plateau counters, ...) for the caller to pick up
+        self.last_extra: dict = cfg_only["config"].get("extra", {})
         if strict_config:
             mismatches = _model_config_mismatches(saved_cfg, self._cfg)
             if mismatches:
@@ -129,3 +139,22 @@ def load_for_eval(directory: str, cfg: TrainConfig, state_like: dict,
     finally:
         mgr.close()
     return state, saved_cfg
+
+
+def peek_config(directory: str, *, step: int | None = None) -> TrainConfig:
+    """Read only the TrainConfig stored in a checkpoint (no state restore).
+
+    Lets a consumer (eval CLI, distillation teacher loading) reconstruct the
+    exact trained architecture before building any params — the opposite of
+    the reference's strict=False guessing (evaluation.py:375-391)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(directory))
+    try:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {directory}")
+        blob = mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )
+        return TrainConfig.from_json(blob["config"]["train_config"])
+    finally:
+        mgr.close()

@@ -48,12 +48,19 @@ class TrainConfig:
     # regularisation
     label_smoothing: float = 0.0
     mixup_alpha: float = 0.0                 # 0 = off
+    attn_dropout: float = 0.0                # attention-prob dropout (train.py:528,545)
+    # distillation (the reference carries these flags, off: train.py:1382-1384;
+    # here they actually work — DeiT-style through the DIST head)
+    distillation: str = "none"               # "none" | "hard" | "soft"
+    distill_teacher: str = ""                # checkpoint dir of teacher classifier
+    distill_alpha: float = 0.5               # weight of the distillation term
+    distill_temperature: float = 3.0         # soft-distillation temperature
     # precision / parallelism
     bf16: bool = True
     mesh_data: int = -1
     mesh_model: int = 1
     remat: bool = False                      # jax.checkpoint the encoder blocks
-    remat_policy: str = "full"               # "full" | "dots" (see models/vit.py)
+    remat_policy: str = "full"               # "full"|"dots"|"names" (models/vit.py)
     # bookkeeping
     seed: int = 0
     log_every: int = 100                     # wandb cadence parity (train.py:1470)
@@ -90,6 +97,8 @@ def resolve_backbone(cfg: TrainConfig) -> BackboneConfig:
     bb = get_preset(cfg.preset)
     if cfg.image_size and cfg.image_size != bb.image_size:
         bb = dataclasses.replace(bb, image_size=cfg.image_size)
+    if cfg.attn_dropout and cfg.attn_dropout != bb.attn_dropout:
+        bb = dataclasses.replace(bb, attn_dropout=cfg.attn_dropout)
     return bb
 
 
@@ -108,6 +117,14 @@ def resolve_detector(cfg: TrainConfig) -> DetectorConfig:
             det,
             head=dataclasses.replace(det.head, num_classes=cfg.num_classes),
         )
+    if cfg.attn_dropout:
+        det = dataclasses.replace(
+            det,
+            backbone=dataclasses.replace(
+                det.backbone, attn_dropout=cfg.attn_dropout
+            ),
+            head=dataclasses.replace(det.head, attn_dropout=cfg.attn_dropout),
+        )
     return det
 
 
@@ -122,6 +139,7 @@ TRAIN_PRESETS: dict[str, TrainConfig] = {
     "vit_base_finetune": TrainConfig(
         preset="vit_base_16_224", batch_size=512, learning_rate=3e-4,
         warmup_steps=500, total_steps=20_000, label_smoothing=0.1,
+        augment="crop_flip",  # BASELINE config #2's defining feature
     ),
     "vit_base_bf16_flash": TrainConfig(
         preset="vit_base_16_224", batch_size=512, bf16=True,
@@ -135,5 +153,8 @@ TRAIN_PRESETS: dict[str, TrainConfig] = {
         preset="deit_detector_ref", task="detect", batch_size=32,
         learning_rate=1e-4, weight_decay=1e-4, schedule="plateau",
         max_objects=25,
+        # the reference trains with dropout 0.1 *including* attention probs
+        # (train.py:545,1352); routes attention to the jnp path in training
+        attn_dropout=0.1,
     ),
 }

@@ -101,7 +101,7 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
             images.astype(policy.compute_dtype),
             det_cfg,
             train=True, rng=rng, return_features=True, remat=cfg.remat,
-            return_aux=cfg.aux_loss,
+            remat_policy=cfg.remat_policy, return_aux=cfg.aux_loss,
         )
         targets = {"boxes": boxes, "labels": batch["labels"], "mask": mask}
         aux = outputs.pop("aux", None)

@@ -51,6 +51,31 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
     optimizer = make_optimizer(cfg)
     num_classes = cfg.num_classes
 
+    # DeiT distillation (the reference carries the flags but never
+    # implements the path, train.py:1382-1384): DIST head learns from a
+    # frozen teacher, CLS head from the labels.
+    distilling = cfg.distillation != "none"
+    teacher_params = teacher_bb = None
+    if distilling:
+        if cfg.distillation not in ("hard", "soft"):
+            raise ValueError(
+                f"distillation must be 'none'|'hard'|'soft', "
+                f"got {cfg.distillation!r}"
+            )
+        if not backbone_cfg.distilled:
+            raise ValueError(
+                "distillation needs a distilled (DeiT) preset — the DIST "
+                "token/head is the distillation surface"
+            )
+        if not cfg.distill_teacher:
+            raise ValueError(
+                "distillation='hard'|'soft' requires distill_teacher "
+                "(checkpoint dir of a trained classifier)"
+            )
+        teacher_params, teacher_bb = _load_teacher(
+            cfg, backbone_cfg, mesh
+        )
+
     # on-device augmentation fused into the step (data/augment.py); with
     # augment="none" batches must arrive already preprocessed
     aug_cfg = None
@@ -107,6 +132,44 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
                 mix_rng, images, labels,
                 num_classes=num_classes, alpha=cfg.mixup_alpha,
             )
+        hard_labels = (
+            labels if labels.ndim == 1 else jnp.argmax(labels, axis=-1)
+        )
+        if distilling:
+            logits_cls, logits_dist = apply_image_classifier(
+                compute_params, images, backbone_cfg, num_classes,
+                train=True, rng=rng, remat=cfg.remat,
+                remat_policy=cfg.remat_policy, return_heads=True,
+            )
+            base = softmax_cross_entropy(
+                logits_cls, labels, num_classes=num_classes,
+                label_smoothing=cfg.label_smoothing,
+            )
+            t_logits = jax.lax.stop_gradient(
+                apply_image_classifier(
+                    policy.cast_to_compute(teacher_params), images,
+                    teacher_bb, num_classes, train=False,
+                )
+            )
+            if cfg.distillation == "hard":
+                dloss = softmax_cross_entropy(
+                    logits_dist, jnp.argmax(t_logits, axis=-1),
+                    num_classes=num_classes,
+                )
+            else:
+                t = cfg.distill_temperature
+                logp = jax.nn.log_softmax(logits_dist / t, axis=-1)
+                p_t = jax.nn.softmax(t_logits / t, axis=-1)
+                # KL(p_t || p_s) up to the constant entropy of p_t; the
+                # t^2 factor keeps gradient scale temperature-invariant
+                dloss = -(t * t) * jnp.mean(jnp.sum(p_t * logp, axis=-1))
+            a = cfg.distill_alpha
+            loss = (1.0 - a) * base + a * dloss
+            logits = (logits_cls + logits_dist) / 2.0
+            return loss, {
+                "accuracy": accuracy_top1(logits, hard_labels),
+                "loss_distill": dloss,
+            }
         logits = apply_image_classifier(
             compute_params, images, backbone_cfg, num_classes,
             train=True, rng=rng, remat=cfg.remat,
@@ -116,15 +179,12 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
             logits, labels, num_classes=num_classes,
             label_smoothing=cfg.label_smoothing,
         )
-        hard_labels = (
-            labels if labels.ndim == 1 else jnp.argmax(labels, axis=-1)
-        )
-        return loss, accuracy_top1(logits, hard_labels)
+        return loss, {"accuracy": accuracy_top1(logits, hard_labels)}
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, base_rng):
         step_rng = jax.random.fold_in(base_rng, state["step"])
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch["image"], batch["label"], step_rng
         )
         updates, opt_state = optimizer.update(
@@ -133,7 +193,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         params = optax.apply_updates(state["params"], updates)
         metrics = {
             "loss": loss,
-            "accuracy": acc,
+            **aux,
             "grad_norm": optax.global_norm(grads),
         }
         return (
@@ -170,3 +230,38 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         }
 
     return init_fn, train_step, eval_step
+
+
+def _load_teacher(cfg: TrainConfig, student_bb, mesh):
+    """Load the frozen distillation teacher from its own checkpoint.
+
+    The teacher's architecture comes from the config stored inside its
+    checkpoint (never guessed — the reference's strict=False anti-pattern,
+    evaluation.py:375-391). Returns (params, backbone_cfg)."""
+    from arsvt_tpu.train.checkpoint import load_for_eval, peek_config
+
+    tcfg = peek_config(cfg.distill_teacher)
+    teacher_bb = resolve_backbone(tcfg)
+    if tcfg.num_classes != cfg.num_classes:
+        raise ValueError(
+            f"teacher has {tcfg.num_classes} classes, student expects "
+            f"{cfg.num_classes}"
+        )
+    if teacher_bb.image_size != student_bb.image_size:
+        raise ValueError(
+            f"teacher image_size {teacher_bb.image_size} != student "
+            f"{student_bb.image_size}"
+        )
+    params_like = init_image_classifier(
+        jax.random.PRNGKey(0), teacher_bb, tcfg.num_classes
+    )
+    state_like = {
+        "params": params_like,
+        "opt_state": make_optimizer(tcfg).init(params_like),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state, _ = load_for_eval(cfg.distill_teacher, tcfg, state_like)
+    params = state["params"]
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    return params, teacher_bb

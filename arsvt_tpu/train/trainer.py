@@ -9,6 +9,7 @@ and the plateau scheduler is explicit functional state.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Iterator
 
 import jax
@@ -51,6 +52,14 @@ class Trainer:
         self.state = None
         self.plateau = PlateauState()
         self._ckpt = None
+        # MFU telemetry: effective TFLOP/s rides next to images/sec in every
+        # metrics row (the bench-only computation of round 1, now always on)
+        try:
+            from arsvt_tpu.utils.flops import train_gflops_per_image
+
+            self._gflops_per_image = train_gflops_per_image(cfg)
+        except Exception:
+            self._gflops_per_image = 0.0
 
     # ------------------------------------------------------------- state
     def init_state(self):
@@ -77,6 +86,11 @@ class Trainer:
         if latest is None:
             return 0
         self.state, _ = self.ckpt.restore(self.state)
+        # plateau controller counters survive the restart (the lr *scale*
+        # rides in opt_state.hyperparams already; best/bad_epochs live here)
+        plateau = (self.ckpt.last_extra or {}).get("plateau")
+        if plateau:
+            self.plateau = PlateauState(**plateau)
         return int(self.state["step"])
 
     # -------------------------------------------------------------- loop
@@ -103,7 +117,10 @@ class Trainer:
             if self.state is not None:
                 step_now = int(self.state["step"])
                 if step_now > start:
-                    self.ckpt.save(step_now, jax.device_get(self.state))
+                    self.ckpt.save(
+                        step_now, jax.device_get(self.state),
+                        extra={"plateau": dataclasses.asdict(self.plateau)},
+                    )
                     self.ckpt.wait()
             raise
         if self._ckpt is not None:
@@ -126,6 +143,9 @@ class Trainer:
             if (step + 1) % cfg.log_every == 0 or step + 1 == steps:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["images_per_sec"] = meter.rate()
+                host["tflops"] = (
+                    host["images_per_sec"] * self._gflops_per_image / 1e3
+                )
                 self.logger.log(step + 1, host, prefix="train/")
                 self._last_metrics = host
                 meter.reset()
@@ -149,6 +169,7 @@ class Trainer:
                 self.ckpt.save(
                     step + 1, jax.device_get(self.state),
                     metrics={"val_loss": last_val_loss},
+                    extra={"plateau": dataclasses.asdict(self.plateau)},
                 )
 
     # -------------------------------------------------------------- eval

@@ -121,6 +121,9 @@ def bench_detect(batch_size: int = 32, steps: int = 10):
     cfg = TRAIN_PRESETS["deit_detector_ref"].with_overrides(
         batch_size=batch_size, augment="detection", canvas=256,
         max_objects=25,
+        # the preset's faithful attn_dropout=0.1 would route attention to
+        # the jnp path; the bench measures the kernel path (round-1 parity)
+        attn_dropout=0.0,
     )
     init_fn, train_step, _ = make_detector_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))

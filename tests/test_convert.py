@@ -173,6 +173,14 @@ def test_reference_detector_checkpoint_converts():
             p + "norm3.weight": w(d), p + "norm3.bias": w(d),
         })
 
+    # the reference saves this envelope (train.py:1647-1654); conversion
+    # must unwrap it and skip the non-tensor metadata
+    state = {
+        "model_state_dict": state,
+        "epoch": 3,
+        "val_loss": 0.5,
+        "config": {"EMBED_DIM": 400},
+    }
     params = from_reference_detector_state(state, det)
     assert "dist_token" in params["backbone"]
     out, feats = apply_detector(
@@ -183,3 +191,23 @@ def test_reference_detector_checkpoint_converts():
     assert out["boxes_cxcywh"].shape == (2, q, 4)
     assert feats.shape == (2, det.triplet_dim)
     assert np.isfinite(np.asarray(out["class_logits"])).all()
+
+
+def test_load_torch_state_unwraps_reference_envelope(tmp_path):
+    """torch.save'd best_vit_detector.pth-style file (model_state_dict +
+    int epoch + float val_loss) loads without AttributeError (round-1
+    ADVICE item)."""
+    from arsvt_tpu.models.convert import load_torch_state
+
+    path = str(tmp_path / "best_vit_detector.pth")
+    torch.save(
+        {
+            "model_state_dict": {"w": torch.ones(2, 3)},
+            "epoch": 7,
+            "val_loss": 0.25,
+        },
+        path,
+    )
+    state = load_torch_state(path)
+    assert set(state) == {"w"}
+    assert state["w"].shape == (2, 3)

