@@ -52,6 +52,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.arsvt_load_batch_u8.restype = ctypes.c_int
+        lib.arsvt_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -61,11 +67,14 @@ def available() -> bool:
 
 
 def load_letterboxed_batch(paths: list[str], canvas: int,
-                           *, threads: int | None = None):
+                           *, threads: int | None = None,
+                           dtype=np.float32):
     """Decode+letterbox a batch natively.
 
-    Returns (images (B, canvas, canvas, 3) fp32 [0,1],
-             meta (B, 4) fp32 [scale, pad_x, pad_y, ok]).
+    Returns (images (B, canvas, canvas, 3), meta (B, 4) fp32
+    [scale, pad_x, pad_y, ok]). `dtype=np.uint8` emits raw 0..255 bytes —
+    4x less host RAM and H2D traffic than fp32 [0,1] (the device rescales
+    at the top of the jitted step); `np.float32` emits [0,1].
     Raises RuntimeError if the native library is unavailable.
     """
     lib = _load()
@@ -74,14 +83,22 @@ def load_letterboxed_batch(paths: list[str], canvas: int,
     n = len(paths)
     if threads is None:
         threads = min(max(os.cpu_count() or 1, 1), 16)
-    images = np.empty((n, canvas, canvas, 3), np.float32)
     meta = np.empty((n, 4), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.arsvt_load_batch(
-        arr, n, canvas, threads,
-        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    if np.dtype(dtype) == np.uint8:
+        images = np.empty((n, canvas, canvas, 3), np.uint8)
+        lib.arsvt_load_batch_u8(
+            arr, n, canvas, threads,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    else:
+        images = np.empty((n, canvas, canvas, 3), np.float32)
+        lib.arsvt_load_batch(
+            arr, n, canvas, threads,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
     return images, meta
 
 

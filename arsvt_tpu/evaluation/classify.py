@@ -29,8 +29,11 @@ def evaluate_classifier(
 
     @jax.jit
     def step(params, images, labels):
+        from arsvt_tpu.core.dtypes import to_unit_float
+
         logits = apply_image_classifier(
-            params, images.astype(compute_dtype), backbone_cfg, num_classes
+            params, to_unit_float(images, compute_dtype), backbone_cfg,
+            num_classes,
         )
         preds = jnp.argmax(logits, axis=-1)
         return (

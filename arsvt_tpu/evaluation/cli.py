@@ -15,6 +15,8 @@ import argparse
 import json
 import sys
 
+import numpy as np
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="arsvt_tpu evaluator")
@@ -118,8 +120,11 @@ def _visualize_first_batches(trainer, ds, cfg, args):
             conf_threshold=args.conf_threshold,
             nms_threshold=args.nms_threshold,
         )
+        images_f32 = np.asarray(batch["image"], np.float32)
+        if batch["image"].dtype == np.uint8:
+            images_f32 /= 255.0
         saved += visualize_batch(
-            batch["image"], posts,
+            images_f32, posts,
             {"boxes": batch["boxes"], "labels": batch["labels"],
              "mask": batch["mask"]},
             out_dir="eval_visualizations", batch_index=bi, max_images=2,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
+from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY, to_unit_float
 from arsvt_tpu.models.detector import apply_detector, init_detector
 from arsvt_tpu.objectives.detection_loss import (
     DetectionLossConfig,
@@ -91,7 +91,7 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
 
     def loss_fn(params, batch, rng):
         compute_params = policy.cast_to_compute(params)
-        images = batch["image"]
+        images = to_unit_float(batch["image"])  # uint8 rescales on device
         boxes, mask = batch["boxes"], batch["mask"]
         if aug:
             rng, aug_rng = jax.random.split(rng)
@@ -142,7 +142,7 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
     @jax.jit
     def eval_step(params, batch):
         compute_params = policy.cast_to_compute(params)
-        images = batch["image"]
+        images = to_unit_float(batch["image"])
         if aug:
             images = eval_pre(images)
         outputs = apply_detector(

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
+from arsvt_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY, to_unit_float
 from arsvt_tpu.models.classifier import (
     apply_image_classifier,
     init_image_classifier,
@@ -122,6 +122,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
 
     def loss_fn(params, images, labels, rng):
         compute_params = policy.cast_to_compute(params)
+        images = to_unit_float(images)  # uint8 batches rescale on device
         if aug_cfg is not None:
             rng, aug_rng = jax.random.split(rng)
             images = augment_batch(aug_rng, images)
@@ -208,7 +209,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
     @jax.jit
     def eval_step(params, batch):
         compute_params = policy.cast_to_compute(params)
-        images = batch["image"]
+        images = to_unit_float(batch["image"])
         if aug_cfg is not None:
             images = eval_pre(images)
         logits = apply_image_classifier(

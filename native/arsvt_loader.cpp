@@ -23,6 +23,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #include <jpeglib.h>
@@ -138,14 +139,17 @@ inline int reflect101(int i, int n) {
   return i;
 }
 
-// Bilinear resize (nh, nw) then center reflect-pad into the canvas; writes
-// fp32 RGB [0,1] into out (canvas*canvas*3). Returns scale/pads via meta.
+// Bilinear resize (nh, nw) then center reflect-pad into the canvas.
+// OutT=float writes fp32 RGB [0,1]; OutT=uint8_t writes raw 0..255 bytes —
+// 4x less host RAM and H2D traffic (the device casts/scales at the top of
+// the jitted step). Returns scale/pads via meta.
 //
 // The resize is SEPARABLE (horizontal pass into a (h, nw) temp, then
 // vertical pass) with per-axis coefficients precomputed once — the naive
 // per-output-pixel 4-tap gather thrashed the cache and fell off a cliff
 // (223 -> 7 img/s) once the working set passed ~1.5 MB.
-void letterbox_into(const Image& img_in, int canvas, float* out, float* meta) {
+template <typename OutT>
+void letterbox_into(const Image& img_in, int canvas, OutT* out, float* meta) {
   // Antialias large downscales: 2-tap bilinear aliases badly past ~2x, so
   // box-reduce by the integer factor first (PIL/cv2 area semantics), then
   // bilinear the remainder.
@@ -225,26 +229,32 @@ void letterbox_into(const Image& img_in, int canvas, float* out, float* meta) {
     }
   }
 
-  // vertical pass: (h, nw) -> (nh, nw), two sequential row reads per row
-  std::vector<float> resized(size_t(nh) * nw * 3);
+  // vertical pass: (h, nw) -> (nh, nw), two sequential row reads per row.
+  // fp32 output scales to [0,1]; uint8 output rounds back to bytes.
+  std::vector<OutT> resized(size_t(nh) * nw * 3);
   constexpr float inv255 = 1.0f / 255.0f;
   for (int y = 0; y < nh; y++) {
     const float* a = &hpass[size_t(y0[y]) * nw * 3];
     const float* b = &hpass[size_t(y1[y]) * nw * 3];
     const float t = wy[y];
-    float* dst = &resized[size_t(y) * nw * 3];
+    OutT* dst = &resized[size_t(y) * nw * 3];
     for (int i = 0; i < nw * 3; i++) {
-      dst[i] = (a[i] + (b[i] - a[i]) * t) * inv255;
+      const float v = a[i] + (b[i] - a[i]) * t;
+      if constexpr (std::is_same_v<OutT, uint8_t>) {
+        dst[i] = uint8_t(std::lround(std::min(std::max(v, 0.0f), 255.0f)));
+      } else {
+        dst[i] = v * inv255;
+      }
     }
   }
   for (int y = 0; y < canvas; y++) {
     int sy_i = reflect101(y - pad_y, nh);
-    const float* src_row = &resized[size_t(sy_i) * nw * 3];
-    float* dst_row = out + size_t(y) * canvas * 3;
+    const OutT* src_row = &resized[size_t(sy_i) * nw * 3];
+    OutT* dst_row = out + size_t(y) * canvas * 3;
     for (int x = 0; x < canvas; x++) {
       int sx_i = reflect101(x - pad_x, nw);
-      const float* s = &src_row[size_t(sx_i) * 3];
-      float* d = &dst_row[size_t(x) * 3];
+      const OutT* s = &src_row[size_t(sx_i) * 3];
+      OutT* d = &dst_row[size_t(x) * 3];
       d[0] = s[0];
       d[1] = s[1];
       d[2] = s[2];
@@ -259,15 +269,9 @@ void letterbox_into(const Image& img_in, int canvas, float* out, float* meta) {
   meta[3] = 1.0f;  // ok
 }
 
-}  // namespace
-
-extern "C" {
-
-// paths: array of n C strings. out_images: n*canvas*canvas*3 fp32.
-// out_meta: n*4 fp32 = [scale, pad_x, pad_y, ok] per image (ok=0 -> image
-// unreadable; its pixels are zeroed).
-int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
-                     float* out_images, float* out_meta) {
+template <typename OutT>
+int load_batch_impl(const char** paths, int n, int canvas, int threads,
+                    OutT* out_images, float* out_meta) {
   if (n <= 0 || canvas <= 0) return -1;
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
@@ -275,13 +279,13 @@ int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      float* out = out_images + size_t(i) * canvas * canvas * 3;
+      OutT* out = out_images + size_t(i) * canvas * canvas * 3;
       float* meta = out_meta + size_t(i) * 4;
       Image img;
       if (decode_file(paths[i], &img)) {
         letterbox_into(img, canvas, out, meta);
       } else {
-        std::memset(out, 0, size_t(canvas) * canvas * 3 * sizeof(float));
+        std::memset(out, 0, size_t(canvas) * canvas * 3 * sizeof(OutT));
         meta[0] = 1.0f;
         meta[1] = meta[2] = 0.0f;
         meta[3] = 0.0f;
@@ -296,6 +300,25 @@ int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
   worker();
   for (auto& t : pool) t.join();
   return failures.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+// paths: array of n C strings. out_images: n*canvas*canvas*3 fp32 [0,1].
+// out_meta: n*4 fp32 = [scale, pad_x, pad_y, ok] per image (ok=0 -> image
+// unreadable; its pixels are zeroed).
+int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
+                     float* out_images, float* out_meta) {
+  return load_batch_impl(paths, n, canvas, threads, out_images, out_meta);
+}
+
+// uint8 variant: out_images is n*canvas*canvas*3 raw bytes — 4x less host
+// RAM and host->device traffic; the device rescales to [0,1] in the step.
+int arsvt_load_batch_u8(const char** paths, int n, int canvas, int threads,
+                        uint8_t* out_images, float* out_meta) {
+  return load_batch_impl(paths, n, canvas, threads, out_images, out_meta);
 }
 
 // Single-image decode helper (streaming sorter path): returns 0 on success

@@ -263,8 +263,19 @@ def test_detection_batches(coco_root):
     assert b["boxes"].shape == (4, 5, 4)
     assert b["labels"].shape == (4, 5)
     assert b["mask"].shape == (4, 5)
-    assert b["image"].dtype == np.float32
+    # uint8 raw bytes by default (4x less H2D); fp32 on request
+    assert b["image"].dtype == np.uint8
     assert (b["boxes"] >= 0).all() and (b["boxes"] <= 1).all()
+    it_f = detection_batches(
+        ds, batch_size=4, canvas=64, max_objects=5, repeat=False,
+        shuffle=False, image_dtype=np.float32,
+    )
+    bf = next(it_f)
+    it_f.close()
+    assert bf["image"].dtype == np.float32
+    np.testing.assert_allclose(
+        bf["image"], b["image"].astype(np.float32) / 255.0, atol=1.0 / 255
+    )
 
 
 def test_classification_batches_skip_empty(coco_root):
