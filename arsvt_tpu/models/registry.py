@@ -67,6 +67,16 @@ DETECTOR_PRESETS: dict[str, DetectorConfig] = {
         head=DetrHeadConfig(num_classes=6, num_queries=5, depth=2,
                             num_heads=2, ffn_dim=64),
     ),
+    # mid-size demo detector for the generalization run (val mAP > 0 on
+    # synthetic COCO — benchmarks/detection_generalization_demo.py)
+    "detector_demo_96": DetectorConfig(
+        backbone=BackboneConfig(
+            image_size=96, patch_size=8, embed_dim=192, depth=6,
+            num_heads=3, mlp_dim=768,
+        ),
+        head=DetrHeadConfig(num_classes=6, num_queries=10, depth=3,
+                            num_heads=4, ffn_dim=512),
+    ),
 }
 
 

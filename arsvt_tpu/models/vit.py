@@ -137,8 +137,17 @@ def dropout(x, rate: float, key, *, train: bool):
     return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
-def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
-    """One pre-LN block. bp: per-layer (unstacked) block params."""
+def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
+                   remat_mlp=False):
+    """One pre-LN block. bp: per-layer (unstacked) block params.
+
+    remat_mlp: wrap only the MLP in jax.checkpoint(nothing_saveable) —
+    selective recompute of the two (B,S,M) internals (u, gelu(u)) that
+    dominate no-remat's residual memory (~7.4 GB at ViT-B bs256). A
+    checkpoint *policy* cannot drop them: gelu_tanh's custom-VJP residual
+    (u) is saved unconditionally, outside policy control — function-level
+    nesting is the only lever that works.
+    """
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     k1 = k2 = kp = None
@@ -163,13 +172,17 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference):
     x = x + dropout(attn, cfg.dropout, k1, train=train)
 
     y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
-    y = gelu_mlp(
+    mlp_fn = lambda *a: gelu_mlp(*a, force_reference=force_reference)  # noqa: E731
+    if remat_mlp:
+        mlp_fn = jax.checkpoint(
+            mlp_fn, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    y = mlp_fn(
         y,
         bp["mlp"]["fc1"]["kernel"].astype(y.dtype),
         bp["mlp"]["fc1"]["bias"],
         bp["mlp"]["fc2"]["kernel"].astype(y.dtype),
         bp["mlp"]["fc2"]["bias"],
-        force_reference=force_reference,
     )
     return x + dropout(y, cfg.dropout, k2, train=train)
 
@@ -200,6 +213,9 @@ def apply_backbone(
               MLP pre-activation (checkpoint_name tags): the backward
               replay DCEs the attention-kernel rerun and the fc2 input
               recompute for ~5 GB of bf16 residuals
+      "all_but_mlp"
+              save everything EXCEPT the (B,S,M) MLP internals —
+              near-no-remat (~3.1x fwd FLOPs) that fits bs256 on one v5e
     """
     b = images.shape[0]
     x = patch_embed(
@@ -223,14 +239,15 @@ def apply_backbone(
     x = dropout(x, cfg.dropout, pos_key, train=train)
 
     block_params = params["blocks"]
+    remat_mlp = remat and remat_policy == "all_but_mlp"
 
     def block_apply(x, bp, layer_rng):
         return _encoder_block(
             x, bp, cfg, train=train, rng=layer_rng,
-            force_reference=force_reference,
+            force_reference=force_reference, remat_mlp=remat_mlp,
         )
 
-    if remat:
+    if remat and not remat_mlp:
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         elif remat_policy == "names":

@@ -38,16 +38,21 @@ _PAD_COST = 1e4
 _INF = jnp.float32(1e30)
 
 
-def lap_single(cost):
-    """Exact square LAP (n, n) fp32, minimizing; returns col_for_row (n,).
+def lap_rect(cost):
+    """Exact rectangular LAP (q, m) fp32 with q <= m, minimizing; returns
+    col_for_row (q,) — every row gets a distinct column.
 
     Jonker-Volgenant shortest augmenting path with dual variables (u, v):
-    one `lax.scan` over rows, a `lax.while_loop` growing the alternating
-    tree per row, vectorized O(n) tree expansion.
+    one `lax.scan` over the q ROWS (not the padded square's max(q, m) —
+    the round-1 version squared the matrix first, scanning 5x more rows
+    for the reference's Q=5/M=25 shapes; the matcher was ~10% of the
+    detector step for it), a `lax.while_loop` growing the alternating tree
+    per row, vectorized O(m) tree expansion.
     """
     cost = cost.astype(jnp.float32)
-    n = cost.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    q, m = cost.shape
+    rows = jnp.arange(q, dtype=jnp.int32)
+    cols = jnp.arange(m, dtype=jnp.int32)
 
     def assign_row(carry, i):
         u, v, p = carry  # p[j] = row matched to col j, -1 if free
@@ -59,9 +64,9 @@ def lap_single(cost):
         #   tree[r]  row r is in the tree
         #   j1       candidate col (argmin of minv over unused)
         minv = cost[i] - u[i] - v
-        way = jnp.full((n,), -1, jnp.int32)
-        used = jnp.zeros((n,), bool)
-        tree = jnp.zeros((n,), bool).at[i].set(True)
+        way = jnp.full((m,), -1, jnp.int32)
+        used = jnp.zeros((m,), bool)
+        tree = jnp.zeros((q,), bool).at[i].set(True)
         j1 = jnp.argmin(minv)
 
         def cond(state):
@@ -108,12 +113,21 @@ def lap_single(cost):
         p = p.at[j_last].set(i)
         return (u, v, p), None
 
-    u0 = jnp.zeros((n,), jnp.float32)
-    v0 = jnp.zeros((n,), jnp.float32)
-    p0 = jnp.full((n,), -1, jnp.int32)
-    (_, _, p), _ = jax.lax.scan(assign_row, (u0, v0, p0), idx)
-    col_for_row = jnp.zeros((n,), jnp.int32).at[p].set(idx)
+    u0 = jnp.zeros((q,), jnp.float32)
+    v0 = jnp.zeros((m,), jnp.float32)
+    p0 = jnp.full((m,), -1, jnp.int32)
+    (_, _, p), _ = jax.lax.scan(assign_row, (u0, v0, p0), rows)
+    # invert p (col -> row) into col_for_row (row -> col); unmatched cols
+    # carry p[j] = -1 and are dropped
+    col_for_row = jnp.zeros((q,), jnp.int32).at[
+        jnp.where(p >= 0, p, q)
+    ].set(cols, mode="drop")
     return col_for_row
+
+
+def lap_single(cost):
+    """Exact square LAP (n, n); returns col_for_row (n,)."""
+    return lap_rect(cost)
 
 
 lap_batch = jax.vmap(lap_single)
@@ -190,14 +204,23 @@ def match(class_logits, boxes_cxcywh, tgt_labels, tgt_boxes_xyxy, tgt_mask,
     n = max(q, m)
 
     def per_image(cl, bx, tl, tb, tm):
-        cost = build_cost_matrix(cl, bx, tl, tb, tm, cfg)
-        sq = jnp.full((n, n), _PAD_COST, jnp.float32)
-        sq = sq.at[:q, :m].set(cost)
+        cost = build_cost_matrix(cl, bx, tl, tb, tm, cfg)  # (Q, M)
         if cfg.backend == "scipy":
-            col = lap_scipy_callback(sq)
+            sq = jnp.full((n, n), _PAD_COST, jnp.float32)
+            sq = sq.at[:q, :m].set(cost)
+            col_q = lap_scipy_callback(sq)[:q]
+        elif q <= m:
+            # rectangular JV: scan q rows, not max(q, m) — the padded
+            # square added dummy rows whose assignments are discarded
+            col_q = lap_rect(cost)
         else:
-            col = lap_single(sq)
-        col_q = col[:q]
+            # more queries than target slots: solve the transpose (each
+            # slot picks its query — same optimum as the padded square),
+            # then invert; unassigned queries get the out-of-range m
+            row_for_col = lap_rect(cost.T)  # (m,): query for each slot
+            col_q = jnp.full((q,), m, jnp.int32).at[row_for_col].set(
+                jnp.arange(m, dtype=jnp.int32)
+            )
         in_range = col_q < m
         matched = in_range & tm[jnp.clip(col_q, 0, m - 1)]
         return col_q, matched

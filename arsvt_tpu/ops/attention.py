@@ -86,13 +86,23 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
     head_dim = d // num_heads
+    dropping = dropout_rate > 0.0 and dropout_rng is not None
+    if not (dropping or force_reference or not use_pallas()):
+        # Residual-lean fused path: saves (qkv_flat, out, lse) only — the
+        # transpose+flash composition below would additionally store the
+        # (3,B,H,S,hd) transposed views as residuals (~2.8 GB at ViT-B
+        # bs256). The backward re-derives them from qkv_flat.
+        from arsvt_tpu.ops.pallas.flash_attention import (
+            flash_self_attention_packed,
+        )
+
+        return flash_self_attention_packed(qkv_flat, num_heads)
     qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
     qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, S, hd)
-    # NOTE: the packed-layout kernel (ops/pallas/qkv_attention.py) avoids
-    # these transposes but measured slower than transpose + per-head flash
-    # (10.0 vs 6.0 ms fwd at ViT-B bs256) — strided slab reads in VMEM eat
-    # the copy savings. Kept for future tuning; this path dispatches to the
-    # flash kernel through multi_head_attention.
+    # NOTE: the fully-packed-layout kernel (ops/pallas/qkv_attention.py,
+    # which also avoids the transposes *inside the kernel*) measured slower
+    # than transpose + per-head flash (10.0 vs 6.0 ms fwd at ViT-B bs256) —
+    # strided slab reads in VMEM eat the copy savings. Kept for tuning.
     out = multi_head_attention(
         qkv[0], qkv[1], qkv[2], force_reference=force_reference,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,

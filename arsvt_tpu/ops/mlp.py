@@ -60,5 +60,10 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
     u = jnp.dot(x, w1) + b1.astype(x.dtype)
     u = checkpoint_name(u, "mlp_u")  # saved under remat_policy="names"
     h = gelu_tanh(u)
+    # "mlp_h" lets remat_policy="all_but_mlp" drop BOTH (B,S,M)-sized
+    # tensors (u for gelu'_bwd, h for fc2's dW) — together ~7.4 GB at
+    # ViT-B bs256 — and recompute them with one extra fc1 matmul + gelu
+    # per layer in the backward
+    h = checkpoint_name(h, "mlp_h")
     out = jnp.dot(h, w2) + b2.astype(x.dtype)
     return out

@@ -45,6 +45,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale  # (Sq, Sk)
         if kv_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -55,6 +56,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         o = jax.lax.dot(
             p.astype(v_ref.dtype), v_ref[i, 0],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         o_ref[i, 0] = (o / l).astype(o_ref.dtype)
         # lse stored (8, Sq): sublane-padded to satisfy TPU tiling
@@ -109,6 +111,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale
         if kv_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -119,19 +122,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # (Sq, Sk)
         ds = p * (dp - delta)  # fp32
 
         dq = jax.lax.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale
         dk = jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale
         dv = jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[i, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         dq_ref[i, 0] = dq.astype(dq_ref.dtype)
         dk_ref[i, 0] = dk.astype(dk_ref.dtype)
@@ -236,3 +243,71 @@ def flash_attention(q, k, v, *, mask=None, interpret=False):
         return sdpa_reference(q, k, v, mask=mask)
     kv_len = k.shape[2]
     return _flash(q, k, v, kv_len, interpret)
+
+
+# --------------------------------------- packed self-attention (qkv -> bsd)
+#
+# Residual-lean wrapper for the encoder's self-attention: the (B, S, 3D)
+# QKV projection output is ALREADY a saved residual upstream (the qkv
+# matmul's dW needs its input; XLA shares one copy), so saving the
+# *transposed* (3, B, H, S, d) q/k/v again — what autodiff of the
+# transpose+flash composition does — wastes 3 extra activation tensors per
+# layer (~2.8 GB at ViT-B bs256, the round-1 no-remat OOM's biggest item:
+# VERDICT weak #2). This custom VJP saves only (qkv_flat, out, lse) and
+# re-derives the transposed views inside the backward at the cost of one
+# extra read+write of qkv_flat (~0.6 ms/layer at HBM speed).
+
+
+def _split_qkv(qkv_flat, num_heads):
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    qkv = qkv_flat.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]  # each (B, H, S, hd)
+
+
+def _packed_fwd_impl(qkv_flat, num_heads, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    q, k, v = _split_qkv(qkv_flat, num_heads)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    out, lse = _fwd(q, k, v, scale=scale, kv_len=s, block_b=block_b,
+                    interpret=interpret)
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    out_bsd = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return out_bsd, (qkv_flat, out, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_self_attention_packed(qkv_flat, num_heads, interpret=False):
+    """(B, S, 3D) fused-QKV projection output -> (B, S, D) attention out."""
+    out_bsd, _ = _packed_fwd_impl(qkv_flat, num_heads, interpret)
+    return out_bsd
+
+
+def _packed_vjp_fwd(qkv_flat, num_heads, interpret):
+    return _packed_fwd_impl(qkv_flat, num_heads, interpret)
+
+
+def _packed_vjp_bwd(num_heads, interpret, saved, g):
+    qkv_flat, out, lse = saved
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    q, k, v = _split_qkv(qkv_flat, num_heads)  # recomputed, not stored
+    do = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+    scale = 1.0 / (hd ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    dq, dk, dv = _bwd_call(q, k, v, out, do.astype(out.dtype), lse,
+                           scale=scale, kv_len=s, block_b=block_b,
+                           interpret=interpret)
+    dqkv = jnp.stack([dq, dk, dv])  # (3, B, H, S, hd)
+    dqkv_flat = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, three_d)
+    return (dqkv_flat.astype(qkv_flat.dtype),)
+
+
+flash_self_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)

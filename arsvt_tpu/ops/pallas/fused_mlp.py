@@ -69,7 +69,8 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, u_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     u = (
-        jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         + b1_ref[0].astype(jnp.float32)
     )
     u_ref[...] = u.astype(u_ref.dtype)
@@ -77,6 +78,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, u_ref,
     acc_ref[...] += jnp.dot(
         h.astype(x_ref.dtype), w2_ref[...],
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )
 
     @pl.when(m == n_m - 1)
@@ -141,6 +143,7 @@ def _bwd_dx_kernel(u_ref, w1_ref, w2_ref, do_ref, dx_ref, du_ref, acc_ref,
     dh = jax.lax.dot_general(
         do_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )  # (bn, bm) = do @ w2^T
     du = dh * _gelu_grad(u_ref[...].astype(jnp.float32))
     du_bf = du.astype(du_ref.dtype)
@@ -148,6 +151,7 @@ def _bwd_dx_kernel(u_ref, w1_ref, w2_ref, do_ref, dx_ref, du_ref, acc_ref,
     acc_ref[...] += jax.lax.dot_general(
         du_bf, w1_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )  # du @ w1^T
 
     @pl.when(m == n_m - 1)
@@ -174,6 +178,7 @@ def _bwd_dw_kernel(x_ref, u_ref, du_ref, do_ref,
     dw1_acc[...] += jax.lax.dot_general(
         x_ref[...], du, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )  # x^T @ du
     db1_acc[...] += jnp.sum(
         du.astype(jnp.float32), axis=0, keepdims=True
@@ -181,6 +186,7 @@ def _bwd_dw_kernel(x_ref, u_ref, du_ref, do_ref,
     dw2_acc[...] += jax.lax.dot_general(
         h, do_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )  # h^T @ do
 
     @pl.when(r == n_r - 1)

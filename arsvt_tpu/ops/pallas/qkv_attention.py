@@ -68,12 +68,14 @@ def _fwd_kernel(qkv_ref, o_ref, lse_ref, *, scale, num_heads, head_dim,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 ) * scale
                 m = jnp.max(s, axis=1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=1, keepdims=True)
                 o = jax.lax.dot(
-                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
                 outs.append((o / l).astype(o_ref.dtype))
                 lse_ref[i, jg * group + t] = jnp.broadcast_to(
@@ -144,25 +146,30 @@ def _bwd_kernel(qkv_ref, o_ref, do_ref, lse_ref, dqkv_ref,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 ) * scale
                 p = jnp.exp(s - lse)
                 delta = jnp.sum(o * dof, axis=1, keepdims=True)
                 dp = jax.lax.dot_general(
                     dof, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 )
                 ds = p * (dp - delta)
                 dqs.append((jax.lax.dot(
                     ds.astype(k.dtype), k,
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 ) * scale).astype(dqkv_ref.dtype))
                 dks.append((jax.lax.dot_general(
                     ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 ) * scale).astype(dqkv_ref.dtype))
                 dvs.append(jax.lax.dot_general(
                     p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
                 ).astype(dqkv_ref.dtype))
             dqkv_ref[i, :, 0, off:off + lanes] = jnp.concatenate(dqs, -1)
             dqkv_ref[i, :, 1, off:off + lanes] = jnp.concatenate(dks, -1)

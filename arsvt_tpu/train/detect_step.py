@@ -109,14 +109,16 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
         if aux is not None:
             # DETR deep supervision: every intermediate decoder layer gets
             # the same (independently matched) loss; the reference has no
-            # equivalent and its decoder trains poorly for it
-            for li in range(det_cfg.head.depth - 1):
-                aux_out = {
-                    "class_logits": aux["class_logits"][li],
-                    "boxes_cxcywh": aux["boxes_cxcywh"][li],
-                }
-                aux_total, _ = detection_loss(aux_out, targets, loss_cfg)
-                total = total + aux_total
+            # equivalent and its decoder trains poorly for it. One vmapped
+            # matcher+loss over the (L-1) layer axis — the per-layer python
+            # loop of round 1 serialized L-1 matcher scans.
+            aux_totals = jax.vmap(
+                lambda cl, bx: detection_loss(
+                    {"class_logits": cl, "boxes_cxcywh": bx},
+                    targets, loss_cfg,
+                )[0]
+            )(aux["class_logits"], aux["boxes_cxcywh"])
+            total = total + jnp.sum(aux_totals)
             parts = dict(parts, total=total)
         return total, parts
 

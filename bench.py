@@ -48,13 +48,19 @@ def vit_b_fwd_gflops(image_size=224, patch=16, d=768, depth=12, mlp=3072):
     return (depth * (per_block + attn) + patch_embed + head) / 1e9
 
 
-def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3):
+def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
+                remat_policy: str = "all_but_mlp"):
     from arsvt_tpu.train.config import TrainConfig
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
+    # champion config (round 2): selective MLP-only rematerialisation —
+    # the packed flash VJP (saves qkv_flat, not transposed q/k/v) plus
+    # recomputing only the (B,S,M) MLP internals fits bs256 with every
+    # other residual saved; measured 647 img/s vs full remat's 641
     cfg = TrainConfig(
         preset="vit_base_16_224", batch_size=batch_size, bf16=True,
         augment="crop_flip", canvas=256, total_steps=10**6, remat=True,
+        remat_policy=remat_policy,
     )
     init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -88,9 +94,10 @@ def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3):
     float(m["loss"])
     dt = time.perf_counter() - t0
     train_ips = batch_size * steps / dt
-    # remat: fwd + recompute + backward(2x fwd) = 4x fwd FLOPs per image
+    # all_but_mlp: fwd + backward(2x fwd) + MLP-recompute (~0.3x) per image
+    flops_mult = 3.3 if remat_policy == "all_but_mlp" else 4.0
     fwd_g = vit_b_fwd_gflops()
-    tflops = train_ips * 4 * fwd_g / 1e3
+    tflops = train_ips * flops_mult * fwd_g / 1e3
     log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "
         f"{dt/steps*1e3:.1f} ms/step), loss={float(m['loss']):.3f}")
     log(f"  effective {tflops:.1f} TFLOP/s = {tflops/V5E_PEAK_TFLOPS*100:.0f}% "
@@ -177,8 +184,25 @@ def bench_streaming(state):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--with-batch512", action="store_true",
+                    help="also report BASELINE config #3's batch-512 number")
+    ap.add_argument("--remat-policy", default="all_but_mlp")
+    args = ap.parse_args()
+
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    train_ips, eval_ips, state = bench_train()
+    train_ips, eval_ips, state = bench_train(
+        batch_size=args.batch_size, remat_policy=args.remat_policy
+    )
+    ips_512 = None
+    if args.with_batch512:
+        # BASELINE config #3 is batch 512; it needs full remat to fit
+        ips_512, _, _ = bench_train(
+            batch_size=512, steps=10, remat_policy="full"
+        )
     stats = bench_streaming(state)
     try:
         det_ips = bench_detect()
@@ -196,11 +220,15 @@ def main():
         "detector_train_images_per_sec": (
             round(det_ips, 1) if det_ips else None
         ),
-        "effective_tflops": round(train_ips * 4 * vit_b_fwd_gflops() / 1e3, 1),
+        "effective_tflops": round(
+            train_ips * 3.3 * vit_b_fwd_gflops() / 1e3, 1
+        ),
         "pct_of_chip_matmul_roofline": round(
-            train_ips * 4 * vit_b_fwd_gflops() / 1e3 / 108.0 * 100, 1
+            train_ips * 3.3 * vit_b_fwd_gflops() / 1e3 / 108.0 * 100, 1
         ),
     }
+    if ips_512 is not None:
+        result["batch512_images_per_sec"] = round(ips_512, 1)
     print(json.dumps(result))
 
 

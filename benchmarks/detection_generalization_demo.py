@@ -1,0 +1,130 @@
+"""Detection generalization demo: val mAP > 0 (VERDICT round-1 next #4).
+
+Round 1 proved the matcher→loss→head chain can *memorize* (train L1 0.04 on
+a toy set) but committed no artifact with nonzero val mAP. This run trains
+the mid-size `detector_demo_96` on a larger synthetic COCO set
+(class-colored rectangles on noise, 320 train / 80 val images) and
+evaluates the full post-process→NMS→COCO-AP chain on the held-out split.
+Batches are pre-decoded into memory (the 1-core dev host's JPEG decode
+would otherwise starve the chip).
+
+Writes `detection_generalization.json` at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from arsvt_tpu.data.coco import CocoDataset
+from arsvt_tpu.data.pipeline import load_letterboxed
+from arsvt_tpu.data.synthetic import make_synthetic_coco
+from arsvt_tpu.evaluation.detect import evaluate_detector
+from arsvt_tpu.train.config import TrainConfig
+from arsvt_tpu.train.detect_step import make_detector_step_fns
+
+CANVAS = 96
+BS = 64
+STEPS = int(os.environ.get("DEMO_STEPS", "1500"))
+MAX_OBJECTS = 8
+
+
+def load_split(split_dir: str):
+    ds = CocoDataset(split_dir)
+    images, _ = load_letterboxed(
+        [r.path for r in ds.records], CANVAS, records=ds.records,
+        dtype=np.uint8,
+    )
+    targets = [ds.padded_target(i, MAX_OBJECTS) for i in range(len(ds))]
+    return ds, images, {
+        "boxes": np.stack([t["boxes"] for t in targets]),
+        "labels": np.stack([t["labels"] for t in targets]),
+        "mask": np.stack([t["mask"] for t in targets]),
+    }
+
+
+def main():
+    tmp = tempfile.mkdtemp(prefix="arsvt_det_demo_")
+    make_synthetic_coco(tmp, splits=("train",), images_per_split=320,
+                        image_size=96, max_boxes=3, seed=0)
+    make_synthetic_coco(tmp, splits=("valid",), images_per_split=80,
+                        image_size=96, max_boxes=3, seed=1)
+    _, tr_images, tr_t = load_split(os.path.join(tmp, "train"))
+    _, va_images, va_t = load_split(os.path.join(tmp, "valid"))
+    print(f"train {tr_images.shape} valid {va_images.shape}",
+          file=sys.stderr, flush=True)
+
+    cfg = TrainConfig(
+        preset="detector_demo_96", task="detect", num_classes=6,
+        batch_size=BS, image_size=CANVAS, canvas=CANVAS,
+        augment="detection", learning_rate=3e-4, weight_decay=1e-4,
+        warmup_steps=100, total_steps=STEPS, schedule="cosine",
+        bf16=True, max_objects=MAX_OBJECTS, aux_loss=True,
+    )
+    init_fn, train_step, eval_step = make_detector_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0))
+    base_rng = jax.random.PRNGKey(1)
+    order_rng = np.random.default_rng(2)
+
+    n = tr_images.shape[0]
+    t0 = time.time()
+    m = None
+    for step in range(STEPS):
+        idx = order_rng.integers(0, n, BS)
+        batch = {
+            "image": jnp.asarray(tr_images[idx]),
+            "boxes": jnp.asarray(tr_t["boxes"][idx]),
+            "labels": jnp.asarray(tr_t["labels"][idx]),
+            "mask": jnp.asarray(tr_t["mask"][idx]),
+        }
+        state, m = train_step(state, batch, base_rng)
+        if step == 0 or (step + 1) % 250 == 0:
+            host = {k: round(float(v), 4) for k, v in m.items()}
+            print(f"step {step+1}: {host}", file=sys.stderr, flush=True)
+    train_secs = time.time() - t0
+
+    def val_batches():
+        for s in range(0, va_images.shape[0], BS):
+            yield {
+                "image": jnp.asarray(va_images[s:s + BS]),
+                "boxes": jnp.asarray(va_t["boxes"][s:s + BS]),
+                "labels": jnp.asarray(va_t["labels"][s:s + BS]),
+                "mask": jnp.asarray(va_t["mask"][s:s + BS]),
+            }
+
+    result = evaluate_detector(
+        eval_step, state["params"], val_batches(), num_classes=6,
+        conf_threshold=0.5, nms_threshold=0.5,
+    )
+    artifact = {
+        "config": {
+            "preset": cfg.preset, "steps": STEPS, "batch_size": BS,
+            "train_images": int(n), "val_images": int(va_images.shape[0]),
+            "augment": cfg.augment, "aux_loss": cfg.aux_loss,
+        },
+        "final_train_metrics": {
+            k: round(float(v), 4) for k, v in m.items()
+        },
+        "train_seconds": round(train_secs, 1),
+        "val": {k: v for k, v in result.items()},
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "detection_generalization.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"val_mAP": result["mAP"], "val_AP50": result["AP50"],
+                      "artifact": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -297,3 +297,30 @@ def test_triplet_needs_pos_and_neg():
         f, jnp.arange(3, dtype=jnp.int32), jnp.zeros(3, bool)
     )
     assert float(loss) == 0.0
+
+
+@pytest.mark.parametrize("q,m", [(5, 25), (25, 5), (7, 7), (1, 9), (9, 1)])
+def test_lap_rect_matches_scipy(q, m):
+    """Rectangular JV (scan over min(q,m) rows) == scipy on random costs,
+    including the transposed q>m route used by match()."""
+    from scipy.optimize import linear_sum_assignment
+
+    from arsvt_tpu.objectives.matcher import lap_rect
+
+    rng = np.random.default_rng(q * 100 + m)
+    c = rng.uniform(0, 10, (q, m)).astype(np.float32)
+    if q <= m:
+        col = np.asarray(lap_rect(jnp.asarray(c)))
+        rows, cols = linear_sum_assignment(c)
+        assert len(set(col.tolist())) == q  # distinct columns
+        np.testing.assert_allclose(
+            c[np.arange(q), col].sum(), c[rows, cols].sum(), rtol=1e-5
+        )
+    else:
+        row_for_col = np.asarray(lap_rect(jnp.asarray(c.T)))
+        rows, cols = linear_sum_assignment(c)
+        assert len(set(row_for_col.tolist())) == m
+        np.testing.assert_allclose(
+            c[row_for_col, np.arange(m)].sum(), c[rows, cols].sum(),
+            rtol=1e-5,
+        )

@@ -89,3 +89,36 @@ def test_fused_mlp_matches_reference():
             b = np.asarray(b, np.float32)
             rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
             assert rel < 3e-2
+
+
+@pytest.mark.parametrize("shape", [(4, 12, 197), (2, 25, 198)])
+def test_packed_self_attention_matches_reference(shape):
+    """flash_self_attention_packed (residual-lean qkv->bsd path) vs the jnp
+    reference, forward and grad wrt the packed qkv projection output."""
+    from arsvt_tpu.ops.attention import self_attention_from_qkv
+    from arsvt_tpu.ops.pallas.flash_attention import (
+        flash_self_attention_packed,
+    )
+
+    b, h, s = shape
+    d = h * 64 if h == 12 else h * 16
+    qkv = _rand(jax.random.PRNGKey(3), (b, s, 3 * d))
+    with jax.default_device(jax.devices("tpu")[0]):
+        out = jax.jit(
+            lambda x: flash_self_attention_packed(x, h)
+        )(qkv)
+        ref = self_attention_from_qkv(qkv, h, force_reference=True)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+        assert err.max() < 2e-2
+
+        g1 = jax.jit(jax.grad(lambda x: jnp.sum(
+            flash_self_attention_packed(x, h).astype(jnp.float32) ** 2
+        )))(qkv)
+        g2 = jax.grad(lambda x: jnp.sum(
+            self_attention_from_qkv(x, h, force_reference=True)
+            .astype(jnp.float32) ** 2
+        ))(qkv)
+        a = np.asarray(g1, np.float32)
+        bb = np.asarray(g2, np.float32)
+        rel = np.abs(a - bb).max() / (np.abs(bb).max() + 1e-9)
+        assert rel < 2e-2
