@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from arsvt_tpu.ops.attention import self_attention_from_qkv
+from arsvt_tpu.ops.dispatch import use_fused_encoder_attention
 from arsvt_tpu.ops.layernorm import layer_norm
 from arsvt_tpu.ops.mlp import gelu_mlp
 from arsvt_tpu.ops.patch_embed import patch_embed
@@ -138,7 +139,7 @@ def dropout(x, rate: float, key, *, train: bool):
 
 
 def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
-                   remat_mlp=False):
+                   remat_mlp=False, remat_mlp_tail=False):
     """One pre-LN block. bp: per-layer (unstacked) block params.
 
     remat_mlp: wrap only the MLP in jax.checkpoint(nothing_saveable) —
@@ -147,6 +148,9 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
     checkpoint *policy* cannot drop them: gelu_tanh's custom-VJP residual
     (u) is saved unconditionally, outside policy control — function-level
     nesting is the only lever that works.
+
+    remat_mlp_tail: save the fc1 output u but recompute gelu(u) in
+    backward (elementwise only — no matmul recompute); see ops/mlp.py.
     """
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
@@ -155,24 +159,45 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
         k1, k2, kp = jax.random.split(rng, 3)
 
     y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
-    # linears emit the storage dtype directly (MXU still accumulates fp32
-    # internally); keeps "dots"-policy residuals bf16 instead of fp32
-    qkv = (
-        jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype))
-        + bp["attn"]["qkv"]["bias"].astype(x.dtype)
-    )
-    attn = self_attention_from_qkv(
-        qkv, h, force_reference=force_reference,
-        dropout_rate=cfg.attn_dropout if train else 0.0, dropout_rng=kp,
-    )
-    attn = (
-        jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype))
-        + bp["attn"]["proj"]["bias"].astype(x.dtype)
-    )
+    attn_dropping = train and cfg.attn_dropout > 0.0 and kp is not None
+    if (not force_reference and not attn_dropping
+            and use_fused_encoder_attention(h, hd)):
+        # one custom VJP over qkv-proj → attention → out-proj: the Pallas
+        # kernels read/write per-head column blocks of the (B,S,3D)/(B,S,D)
+        # layouts directly — no (B,H,S,d) transposes in either direction
+        from arsvt_tpu.ops.pallas.flash_attention import (
+            fused_encoder_attention,
+        )
+
+        attn = fused_encoder_attention(
+            y,
+            bp["attn"]["qkv"]["kernel"].astype(y.dtype),
+            bp["attn"]["qkv"]["bias"].astype(y.dtype),
+            bp["attn"]["proj"]["kernel"].astype(y.dtype),
+            bp["attn"]["proj"]["bias"].astype(y.dtype),
+            h,
+        )
+    else:
+        # linears emit the storage dtype directly (MXU still accumulates
+        # fp32 internally); keeps "dots"-policy residuals bf16 not fp32
+        qkv = (
+            jnp.dot(y, bp["attn"]["qkv"]["kernel"].astype(y.dtype))
+            + bp["attn"]["qkv"]["bias"].astype(x.dtype)
+        )
+        attn = self_attention_from_qkv(
+            qkv, h, force_reference=force_reference,
+            dropout_rate=cfg.attn_dropout if train else 0.0, dropout_rng=kp,
+        )
+        attn = (
+            jnp.dot(attn, bp["attn"]["proj"]["kernel"].astype(attn.dtype))
+            + bp["attn"]["proj"]["bias"].astype(x.dtype)
+        )
     x = x + dropout(attn, cfg.dropout, k1, train=train)
 
     y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
-    mlp_fn = lambda *a: gelu_mlp(*a, force_reference=force_reference)  # noqa: E731
+    mlp_fn = lambda *a: gelu_mlp(  # noqa: E731
+        *a, force_reference=force_reference, remat_tail=remat_mlp_tail
+    )
     if remat_mlp:
         mlp_fn = jax.checkpoint(
             mlp_fn, policy=jax.checkpoint_policies.nothing_saveable
@@ -216,6 +241,10 @@ def apply_backbone(
       "all_but_mlp"
               save everything EXCEPT the (B,S,M) MLP internals —
               near-no-remat (~3.1x fwd FLOPs) that fits bs256 on one v5e
+      "mlp_tail"
+              like "all_but_mlp" but the fc1 output u is saved too;
+              backward recomputes only the elementwise gelu(u) — no
+              matmul recompute at all (+310 MB/layer of bf16 residuals)
     """
     b = images.shape[0]
     x = patch_embed(
@@ -240,14 +269,16 @@ def apply_backbone(
 
     block_params = params["blocks"]
     remat_mlp = remat and remat_policy == "all_but_mlp"
+    remat_mlp_tail = remat and remat_policy == "mlp_tail"
 
     def block_apply(x, bp, layer_rng):
         return _encoder_block(
             x, bp, cfg, train=train, rng=layer_rng,
             force_reference=force_reference, remat_mlp=remat_mlp,
+            remat_mlp_tail=remat_mlp_tail,
         )
 
-    if remat and not remat_mlp:
+    if remat and not (remat_mlp or remat_mlp_tail):
         if remat_policy == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         elif remat_policy == "names":

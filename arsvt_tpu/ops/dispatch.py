@@ -34,3 +34,18 @@ def use_fused_mlp() -> bool:
 
 def use_ln_vjp() -> bool:
     return not os.environ.get("ARSVT_DISABLE_LN_VJP")
+
+
+def use_fused_encoder_attention(num_heads: int, head_dim: int) -> bool:
+    """Direct-layout fused qkv-proj→attention→out-proj block: reads per-head
+    column blocks straight from the (B,S,3D) projection output — zero HBM
+    transposes (measured −62 ms/step at ViT-B bs256,
+    benchmarks/attn_layout_bench.py). Requires 128 % head_dim == 0 and
+    D % 128 == 0 (BlockSpec lane-tiling); other geometries (e.g. the
+    reference's 400-dim DeiT) use the packed VJP path."""
+    if os.environ.get("ARSVT_DISABLE_FUSED_ATTN"):
+        return False
+    if not use_pallas():
+        return False
+    d = num_heads * head_dim
+    return head_dim <= 128 and 128 % head_dim == 0 and d % 128 == 0

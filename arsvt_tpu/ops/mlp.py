@@ -46,8 +46,18 @@ def _gelu_bwd(u, g):
 gelu_tanh.defvjp(_gelu_fwd, _gelu_bwd)
 
 
-def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
-    """x: (..., D); w1: (D, M); w2: (M, D). Returns (..., D) in x.dtype."""
+def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False,
+             remat_tail: bool = False):
+    """x: (..., D); w1: (D, M); w2: (M, D). Returns (..., D) in x.dtype.
+
+    remat_tail: wrap only the GELU→fc2 *tail* in
+    jax.checkpoint(nothing_saveable). The fc1 output `u` is the tail's
+    input, so it is saved; the backward replay recomputes only the
+    elementwise gelu(u) (one VPU pass, no matmul) to rebuild fc2's dW
+    input. Compared with remat_policy="all_but_mlp" (which recomputes the
+    fc1 matmul too, ~2.2 ms/layer of MXU time at ViT-B bs256) this trades
+    +310 MB/layer of saved bf16 `u` for dropping that recompute entirely.
+    """
     if not force_reference and use_fused_mlp():
         from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
 
@@ -59,11 +69,18 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False):
 
     u = jnp.dot(x, w1) + b1.astype(x.dtype)
     u = checkpoint_name(u, "mlp_u")  # saved under remat_policy="names"
-    h = gelu_tanh(u)
-    # "mlp_h" lets remat_policy="all_but_mlp" drop BOTH (B,S,M)-sized
-    # tensors (u for gelu'_bwd, h for fc2's dW) — together ~7.4 GB at
-    # ViT-B bs256 — and recompute them with one extra fc1 matmul + gelu
-    # per layer in the backward
-    h = checkpoint_name(h, "mlp_h")
-    out = jnp.dot(h, w2) + b2.astype(x.dtype)
-    return out
+
+    def tail(u, w2, b2):
+        h = gelu_tanh(u)
+        # "mlp_h" lets remat_policy="all_but_mlp" drop BOTH (B,S,M)-sized
+        # tensors (u for gelu'_bwd, h for fc2's dW) — together ~7.4 GB at
+        # ViT-B bs256 — and recompute them with one extra fc1 matmul + gelu
+        # per layer in the backward
+        h = checkpoint_name(h, "mlp_h")
+        return jnp.dot(h, w2) + b2.astype(u.dtype)
+
+    if remat_tail:
+        tail = jax.checkpoint(
+            tail, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    return tail(u, w2, b2)

@@ -59,10 +59,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
             precision=jax.lax.Precision.DEFAULT,
         )
         o_ref[i, 0] = (o / l).astype(o_ref.dtype)
-        # lse stored (8, Sq): sublane-padded to satisfy TPU tiling
-        lse_ref[i, 0] = jnp.broadcast_to(
-            (m + jnp.log(l))[:, 0][None, :], (8, q.shape[0])
-        )
+        # (1, Sq) row; the block's 8-sublane VMEM padding is internal —
+        # the HBM residual stays (B, H, 1, S), 8x smaller than a broadcast
+        lse_ref[i, 0] = (m + jnp.log(l))[:, 0][None, :]
 
 
 def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False):
@@ -79,12 +78,12 @@ def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False):
         in_specs=[qspec, kvspec, kvspec],
         out_specs=(
             qspec,
-            pl.BlockSpec((block_b, 1, 8, sq), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((block_b, 1, 1, sq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -154,7 +153,7 @@ def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((block_b, 1, sk, d), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((block_b, 1, 8, sq), lambda i, j: (i, j, 0, 0),
+    lspec = pl.BlockSpec((block_b, 1, 1, sq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, kv_len=kv_len),
@@ -177,10 +176,14 @@ def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
 
 
 def _pick_block_b(b: int, sq: int, sk: int) -> int:
-    # keep the fp32 scores tile under ~2.5 MB per grid cell
+    # keep the fp32 scores tile under ~2.5 MB per grid cell; the flat 32
+    # cap bounds the unrolled loop's slab + temp VMEM for small-score
+    # shapes (e.g. the DETR decoder's 10x144 cross-attention, where the
+    # score budget alone would pick the whole batch and the backward's
+    # per-iteration fp32 temps blow the 16 MB scoped-vmem stack)
     budget = int(2.5 * 1024 * 1024)
     per_item = sq * sk * 4
-    bb = max(1, budget // max(per_item, 1))
+    bb = max(1, min(budget // max(per_item, 1), 32))
     while b % bb:
         bb -= 1
     return bb
@@ -311,3 +314,253 @@ def _packed_vjp_bwd(num_heads, interpret, saved, g):
 
 
 flash_self_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+# ------------------------------------------- direct-layout (transpose-free)
+#
+# The packed VJP above still *computes* the (B,H,S,d) transposes — it just
+# avoids storing them. These kernels skip the transposes entirely: the
+# BlockSpec index map carves per-head (bb, S, d) column blocks straight out
+# of the (B, S, 3D) projection output (qkv_flat passed three times with
+# q/k/v column offsets), and the output is written as (bb, S, d) column
+# blocks of a (B, S, D) array that the output projection consumes with no
+# relayout. The DMA reads rows of d*2 bytes strided by 3D*2 — whether that
+# strided read beats a separate full transpose pass is measured in
+# benchmarks/attn_layout_bench.py.
+
+
+def _fwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                       head_dim, group):
+    bb = q_ref.shape[0]
+    for i in range(bb):  # unrolled over the batch block
+        outs = []
+        for t in range(group):  # heads within the 128-lane block
+            sl = slice(t * head_dim, (t + 1) * head_dim)
+            q = q_ref[i, :, sl]  # (S, d) — static 64-lane slice
+            k = k_ref[i, :, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot(
+                p.astype(v_ref.dtype), v_ref[i, :, sl],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            outs.append((o / l).astype(o_ref.dtype))
+            lse_ref[i, t] = (m + jnp.log(l))[:, 0][None, :]
+        o_ref[i] = outs[0] if group == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _direct_supported(num_heads: int, head_dim: int) -> bool:
+    d = num_heads * head_dim
+    if head_dim > 128 or 128 % head_dim:
+        return False
+    return d % 128 == 0
+
+
+def _direct_specs(b, s, d, num_heads, block_b):
+    """Specs carving 128-lane q/k/v column blocks out of (B, S, 3D) and
+    128-lane output blocks of (B, S, D). group = heads per 128 lanes."""
+    h = num_heads
+    hd = d // h
+    group = 128 // hd
+    n_blocks = d // 128  # per q/k/v region
+    qspec = pl.BlockSpec((block_b, s, 128), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(
+        (block_b, s, 128), lambda i, j: (i, 0, n_blocks + j),
+        memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec(
+        (block_b, s, 128), lambda i, j: (i, 0, 2 * n_blocks + j),
+        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((block_b, s, 128), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((block_b, group, 1, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qspec, kspec, vspec, ospec, lspec, group, n_blocks
+
+
+def _fwd_direct(qkv_flat, num_heads, *, interpret=False):
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    qspec, kspec, vspec, ospec, lspec, group, n_blocks = _direct_specs(
+        b, s, d, num_heads, block_b)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_direct, scale=scale, head_dim=hd,
+                          group=group),
+        grid=(b // block_b, n_blocks),
+        in_specs=[qspec, kspec, vspec],
+        out_specs=(ospec, lspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, 1, s), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv_flat, qkv_flat, qkv_flat)
+    return out, lse
+
+
+def _bwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, head_dim, group):
+    bb = q_ref.shape[0]
+    for i in range(bb):
+        dqs, dks, dvs = [], [], []
+        for t in range(group):
+            sl = slice(t * head_dim, (t + 1) * head_dim)
+            q = q_ref[i, :, sl]
+            k = k_ref[i, :, sl]
+            v = v_ref[i, :, sl]
+            o = o_ref[i, :, sl].astype(jnp.float32)
+            do_raw = do_ref[i, :, sl]
+            do = do_raw.astype(jnp.float32)
+            lse = lse_ref[i, t, 0][:, None]  # (S, 1)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale
+            p = jnp.exp(s - lse)
+
+            delta = jnp.sum(o * do, axis=1, keepdims=True)
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            ds = p * (dp - delta)
+
+            dqs.append((jax.lax.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale).astype(dq_ref.dtype))
+            dks.append((jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale).astype(dk_ref.dtype))
+            dvs.append(jax.lax.dot_general(
+                p.astype(do_raw.dtype), do_raw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).astype(dv_ref.dtype))
+        dq_ref[i] = dqs[0] if group == 1 else jnp.concatenate(dqs, axis=-1)
+        dk_ref[i] = dks[0] if group == 1 else jnp.concatenate(dks, axis=-1)
+        dv_ref[i] = dvs[0] if group == 1 else jnp.concatenate(dvs, axis=-1)
+
+
+def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False):
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    qspec, kspec, vspec, ospec, lspec, group, n_blocks = _direct_specs(
+        b, s, d, num_heads, block_b)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_direct, scale=scale, head_dim=hd,
+                          group=group),
+        grid=(b // block_b, n_blocks),
+        in_specs=[qspec, kspec, vspec, ospec, ospec, lspec],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv_flat, qkv_flat, qkv_flat, out, dout, lse)
+
+
+# -------------------------------------- fused encoder attention (QKV→SDPA→O)
+#
+# One custom VJP spanning qkv projection → attention → output projection.
+# Weights arrive pre-cast to the compute dtype (the caller's .astype VJP
+# accumulates the fp32 master-grad exactly as the unfused path does).
+# Residuals: (y, qkv_flat, attn_out, lse) — strictly fewer bytes than the
+# unfused composition, which additionally saves the attention output in
+# (B,H,S,d) layout. Backward never materialises a (B,S,3D) cotangent:
+# dy and dW_qkv are computed per-q/k/v against column slices of the weight.
+
+
+def _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    qkv = jnp.dot(y, wqkv) + bqkv
+    attn, lse = _fwd_direct(qkv, num_heads, interpret=interpret)
+    attn = checkpoint_name(attn, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    out = jnp.dot(attn, wproj) + bproj
+    # weights in the residuals are free — they alias the live params
+    return out, (y, qkv, attn, lse, wqkv, wproj)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_encoder_attention(y, wqkv, bqkv, wproj, bproj, num_heads,
+                            interpret=False):
+    """y: (B,S,D); wqkv: (D,3D); wproj: (D,D) — all compute-dtype.
+
+    Returns (B,S,D): out_proj(attention(qkv_proj(y))). Equivalent to the
+    unfused qkv-matmul → self_attention_from_qkv → proj-matmul composition
+    (tested against it) with transpose-free kernels and leaner residuals.
+    """
+    out, _ = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                interpret)
+    return out
+
+
+def _enc_attn_vjp_fwd(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+    return _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                              interpret)
+
+
+def _enc_attn_vjp_bwd(num_heads, interpret, saved, g):
+    y, qkv, attn, lse, wqkv, wproj = saved
+    b, s, d = y.shape
+    y2 = y.reshape(b * s, d)
+    g2 = g.reshape(b * s, d)
+    a2 = attn.reshape(b * s, d)
+
+    # output projection
+    dwproj = jnp.dot(a2.T, g2)
+    dbproj = jnp.sum(g2, axis=0)
+    dattn = jnp.dot(g2, wproj.T).reshape(b, s, d)
+
+    # attention core — emits dq/dk/dv as (B,S,D) head-column layouts; no
+    # (B,S,3D) cotangent or (B,H,S,d) transpose is ever materialised
+    dq, dk, dv = _bwd_direct(qkv, attn, dattn.astype(attn.dtype), lse,
+                             num_heads, interpret=interpret)
+
+    # qkv projection, per column slice of the packed weight
+    wq, wk, wv = wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:]
+    dq2 = dq.reshape(b * s, d)
+    dk2 = dk.reshape(b * s, d)
+    dv2 = dv.reshape(b * s, d)
+    dy = (jnp.dot(dq2, wq.T) + jnp.dot(dk2, wk.T)
+          + jnp.dot(dv2, wv.T)).reshape(b, s, d)
+    dwqkv = jnp.concatenate(
+        [jnp.dot(y2.T, dq2), jnp.dot(y2.T, dk2), jnp.dot(y2.T, dv2)], axis=1
+    )
+    dbqkv = jnp.concatenate(
+        [jnp.sum(dq2, axis=0), jnp.sum(dk2, axis=0), jnp.sum(dv2, axis=0)]
+    )
+    return (dy.astype(y.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(wqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj.astype(wproj.dtype))
+
+
+fused_encoder_attention.defvjp(_enc_attn_vjp_fwd, _enc_attn_vjp_bwd)

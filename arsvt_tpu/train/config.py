@@ -60,7 +60,7 @@ class TrainConfig:
     mesh_data: int = -1
     mesh_model: int = 1
     remat: bool = False                      # jax.checkpoint the encoder blocks
-    remat_policy: str = "full"               # "full"|"dots"|"names" (models/vit.py)
+    remat_policy: str = "full"  # "full"|"dots"|"names"|"all_but_mlp"|"mlp_tail"
     # bookkeeping
     seed: int = 0
     log_every: int = 100                     # wandb cadence parity (train.py:1470)

@@ -94,8 +94,9 @@ def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
     float(m["loss"])
     dt = time.perf_counter() - t0
     train_ips = batch_size * steps / dt
-    # all_but_mlp: fwd + backward(2x fwd) + MLP-recompute (~0.3x) per image
-    flops_mult = 3.3 if remat_policy == "all_but_mlp" else 4.0
+    # fwd + backward(2x fwd) + recompute: MLP fc1+gelu (~0.3x) for
+    # all_but_mlp, gelu only (~0x matmul) for mlp_tail, full fwd for "full"
+    flops_mult = {"all_but_mlp": 3.3, "mlp_tail": 3.05}.get(remat_policy, 4.0)
     fwd_g = vit_b_fwd_gflops()
     tflops = train_ips * flops_mult * fwd_g / 1e3
     log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "

@@ -9,6 +9,11 @@ tests (which only assert a few steps of loss decrease).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import itertools
 import json
 import sys

@@ -6,6 +6,11 @@ NOTE (axon tunnel): sync via float()/item(), never block_until_ready.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 

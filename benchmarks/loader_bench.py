@@ -10,6 +10,11 @@ Usage: python benchmarks/loader_bench.py [--canvas 256] [--images 64]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

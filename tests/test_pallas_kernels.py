@@ -91,6 +91,51 @@ def test_fused_mlp_matches_reference():
             assert rel < 3e-2
 
 
+def test_fused_encoder_attention_matches_unfused():
+    """fused_encoder_attention (direct-layout qkv→SDPA→proj custom VJP) vs
+    the unfused qkv-matmul → packed-flash → proj-matmul composition: forward
+    and grads wrt input + all four weight/bias tensors."""
+    from arsvt_tpu.ops.pallas.flash_attention import (
+        flash_self_attention_packed,
+        fused_encoder_attention,
+    )
+
+    b, s, d, h = 4, 197, 768, 12
+    key = jax.random.PRNGKey(7)
+    y = _rand(key, (b, s, d))
+    wqkv = (_rand(jax.random.fold_in(key, 1), (d, 3 * d), jnp.float32)
+            * 0.05).astype(jnp.bfloat16)
+    bqkv = _rand(jax.random.fold_in(key, 2), (3 * d,)) * 0.1
+    wproj = (_rand(jax.random.fold_in(key, 3), (d, d), jnp.float32)
+             * 0.05).astype(jnp.bfloat16)
+    bproj = _rand(jax.random.fold_in(key, 4), (d,)) * 0.1
+
+    def unfused(y, wqkv, bqkv, wproj, bproj):
+        qkv = jnp.dot(y, wqkv) + bqkv
+        attn = flash_self_attention_packed(qkv, h)
+        return jnp.dot(attn, wproj) + bproj
+
+    def fused(y, wqkv, bqkv, wproj, bproj):
+        return fused_encoder_attention(y, wqkv, bqkv, wproj, bproj, h)
+
+    args = (y, wqkv, bqkv, wproj, bproj)
+    with jax.default_device(jax.devices("tpu")[0]):
+        out = jax.jit(fused)(*args)
+        ref = jax.jit(unfused)(*args)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+        assert err.max() < 2e-2
+
+        loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
+            f(*a).astype(jnp.float32) ** 2)
+        g1 = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4)))(*args)
+        g2 = jax.jit(jax.grad(loss(unfused), argnums=(0, 1, 2, 3, 4)))(*args)
+        for a, bb_ in zip(g1, g2):
+            a = np.asarray(a, np.float32)
+            bb_ = np.asarray(bb_, np.float32)
+            rel = np.abs(a - bb_).max() / (np.abs(bb_).max() + 1e-9)
+            assert rel < 2e-2
+
+
 @pytest.mark.parametrize("shape", [(4, 12, 197), (2, 25, 198)])
 def test_packed_self_attention_matches_reference(shape):
     """flash_self_attention_packed (residual-lean qkv->bsd path) vs the jnp
