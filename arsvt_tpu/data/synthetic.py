@@ -72,12 +72,28 @@ def make_synthetic_coco(
             fname = f"img_{img_id:04d}.jpg"
             img = rng.uniform(0.3, 0.7, (image_size, image_size, 3))
             n_boxes = int(rng.integers(0, max_boxes + 1))
+            placed: list[tuple[float, float, float, float]] = []
             for _ in range(n_boxes):
                 cat = int(rng.integers(0, NUM_CLASSES))
-                w = float(rng.uniform(8, image_size // 2))
-                h = float(rng.uniform(8, image_size // 2))
-                x = float(rng.uniform(0, image_size - w))
-                y = float(rng.uniform(0, image_size - h))
+                # rejection-sample a non-overlapping placement: a later box
+                # painted over an earlier one leaves the earlier annotation
+                # with no visible evidence — unlearnable GT that teaches the
+                # model to hallucinate (measured: occluded-GT datasets train
+                # to high train-AP but near-zero val-AP)
+                for _attempt in range(20):
+                    w = float(rng.uniform(8, image_size // 2))
+                    h = float(rng.uniform(8, image_size // 2))
+                    x = float(rng.uniform(0, image_size - w))
+                    y = float(rng.uniform(0, image_size - h))
+                    if all(
+                        x >= px + pw or px >= x + w or y >= py + ph
+                        or py >= y + h
+                        for (px, py, pw, ph) in placed
+                    ):
+                        break
+                else:
+                    continue  # no free spot found — drop this box
+                placed.append((x, y, w, h))
                 img[int(y) : int(y + h), int(x) : int(x + w)] = _CLASS_COLORS[cat]
                 annotations.append(
                     {

@@ -40,7 +40,8 @@ from arsvt_tpu.train.detect_step import make_detector_step_fns
 
 CANVAS = 96
 BS = 64
-STEPS = int(os.environ.get("DEMO_STEPS", "1500"))
+STEPS = int(os.environ.get("DEMO_STEPS", "6000"))
+TRAIN_IMAGES = int(os.environ.get("DEMO_TRAIN_IMAGES", "4000"))
 MAX_OBJECTS = 8
 
 
@@ -60,7 +61,7 @@ def load_split(split_dir: str):
 
 def main():
     tmp = tempfile.mkdtemp(prefix="arsvt_det_demo_")
-    make_synthetic_coco(tmp, splits=("train",), images_per_split=320,
+    make_synthetic_coco(tmp, splits=("train",), images_per_split=TRAIN_IMAGES,
                         image_size=96, max_boxes=3, seed=0)
     make_synthetic_coco(tmp, splits=("valid",), images_per_split=80,
                         image_size=96, max_boxes=3, seed=1)
@@ -69,12 +70,26 @@ def main():
     print(f"train {tr_images.shape} valid {va_images.shape}",
           file=sys.stderr, flush=True)
 
+    # augment="none": the reference-parity detection pipeline rotates ±45°,
+    # which turns axis-aligned rectangle targets into loose boxes (GIoU
+    # noise up to ~40%) — this demo isolates the matcher→loss→NMS→AP chain's
+    # ability to generalize, not augmentation robustness
+    # w_triplet=0: the reference's triplet loss acts on shared-backbone CLS
+    # features with noisy "dominant class" image labels — useful for the
+    # sorter's metric-learning surface, but on this multi-object synthetic
+    # set it just perturbs the backbone. grad_clip 0.1 (DETR practice):
+    # raw grad norms run 25-70 here, so the 1.0 default clips constantly
+    # and down-scales every update.
     cfg = TrainConfig(
         preset="detector_demo_96", task="detect", num_classes=6,
         batch_size=BS, image_size=CANVAS, canvas=CANVAS,
-        augment="detection", learning_rate=3e-4, weight_decay=1e-4,
-        warmup_steps=100, total_steps=STEPS, schedule="cosine",
+        augment="none",
+        learning_rate=float(os.environ.get("DEMO_LR", "3e-4")),
+        weight_decay=1e-4,
+        warmup_steps=min(500, STEPS // 10), total_steps=STEPS,
+        schedule="cosine",
         bf16=True, max_objects=MAX_OBJECTS, aux_loss=True,
+        w_triplet=0.0, grad_clip_norm=0.1,
     )
     init_fn, train_step, eval_step = make_detector_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -98,18 +113,26 @@ def main():
             print(f"step {step+1}: {host}", file=sys.stderr, flush=True)
     train_secs = time.time() - t0
 
-    def val_batches():
-        for s in range(0, va_images.shape[0], BS):
+    def batches_of(images, t, limit=None):
+        stop = images.shape[0] if limit is None else min(limit, images.shape[0])
+        for s in range(0, stop, BS):
             yield {
-                "image": jnp.asarray(va_images[s:s + BS]),
-                "boxes": jnp.asarray(va_t["boxes"][s:s + BS]),
-                "labels": jnp.asarray(va_t["labels"][s:s + BS]),
-                "mask": jnp.asarray(va_t["mask"][s:s + BS]),
+                "image": jnp.asarray(images[s:s + BS]),
+                "boxes": jnp.asarray(t["boxes"][s:s + BS]),
+                "labels": jnp.asarray(t["labels"][s:s + BS]),
+                "mask": jnp.asarray(t["mask"][s:s + BS]),
             }
 
     result = evaluate_detector(
-        eval_step, state["params"], val_batches(), num_classes=6,
-        conf_threshold=0.5, nms_threshold=0.5,
+        eval_step, state["params"], batches_of(va_images, va_t),
+        num_classes=6, conf_threshold=0.5, nms_threshold=0.5,
+    )
+    # train-split AP through the same post-process->NMS->AP chain: separates
+    # "eval-chain bug" (train AP ~0 despite near-perfect fit) from
+    # "memorization" (train AP high, val AP low)
+    train_result = evaluate_detector(
+        eval_step, state["params"], batches_of(tr_images, tr_t, limit=128),
+        num_classes=6, conf_threshold=0.5, nms_threshold=0.5,
     )
     artifact = {
         "config": {
@@ -122,13 +145,15 @@ def main():
         },
         "train_seconds": round(train_secs, 1),
         "val": {k: v for k, v in result.items()},
+        "train_split": {k: v for k, v in train_result.items()
+                        if k in ("mAP", "AP50", "AP75")},
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "detection_generalization.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"val_mAP": result["mAP"], "val_AP50": result["AP50"],
-                      "artifact": out}))
+                      "train_mAP": train_result["mAP"], "artifact": out}))
 
 
 if __name__ == "__main__":
