@@ -321,3 +321,42 @@ def test_augmentation_deterministic_under_fixed_key():
     c1 = classification_train_augment(key, img, ccfg)
     c2 = classification_train_augment(key, img, ccfg)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_synthetic_boxes_visible_and_aligned(tmp_path):
+    """Every annotated box in the synthetic set must stay visible (no box
+    painted over another — occluded GT is unlearnable supervision) and its
+    interior must match the class color after the full load path."""
+    from arsvt_tpu.data.pipeline import load_letterboxed
+    from arsvt_tpu.data.synthetic import _CLASS_COLORS
+
+    root = make_synthetic_coco(
+        str(tmp_path / "al"), splits=("train",), images_per_split=24,
+        image_size=64, max_boxes=3, seed=5,
+    )
+    ds = CocoDataset(root + "/train")
+    images, _ = load_letterboxed(
+        [r.path for r in ds.records], 64, records=ds.records, dtype=np.uint8
+    )
+    checked = 0
+    for i in range(len(ds)):
+        t = ds.padded_target(i, 8)
+        img = images[i].astype(np.float32) / 255.0
+        live = [b for b, m in zip(t["boxes"], t["mask"]) if m]
+        # pairwise non-overlap (normalized xyxy)
+        for a in range(len(live)):
+            for b in range(a + 1, len(live)):
+                ax1, ay1, ax2, ay2 = live[a]
+                bx1, by1, bx2, by2 = live[b]
+                assert (ax1 >= bx2 or bx1 >= ax2 or ay1 >= by2 or by1 >= ay2)
+        for box, lab, m in zip(t["boxes"], t["labels"], t["mask"]):
+            if not m:
+                continue
+            x1, y1, x2, y2 = (np.asarray(box) * 64).round().astype(int)
+            inside = img[y1 + 1 : y2 - 1, x1 + 1 : x2 - 1]
+            if inside.size == 0:
+                continue
+            err = np.abs(inside - _CLASS_COLORS[lab]).mean()
+            assert err < 0.05, (i, lab, err)
+            checked += 1
+    assert checked >= 10
