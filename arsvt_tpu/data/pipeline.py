@@ -65,9 +65,31 @@ def letterbox_u8(image: np.ndarray, canvas: int):
 
 
 def letterbox(image: np.ndarray, canvas: int):
-    """fp32 [0,1] variant of `letterbox_u8` (same resize rounding)."""
+    """fp32 [0,1] variant of `letterbox_u8` (same resize rounding).
+
+    Float input that already matches the canvas size is only padded, never
+    quantized through uint8 — off-grid fp32 pixels survive exactly."""
+    if (np.issubdtype(image.dtype, np.floating)
+            and max(image.shape[:2]) == canvas):
+        h, w = image.shape[:2]
+        pad_y, pad_x = (canvas - h) // 2, (canvas - w) // 2
+        out = np.pad(
+            image.astype(np.float32),
+            ((pad_y, canvas - h - pad_y), (pad_x, canvas - w - pad_x),
+             (0, 0)),
+            mode="reflect" if min(h, w) > 1 else "edge",
+        )
+
+        def box_transform(boxes: np.ndarray) -> np.ndarray:
+            if boxes.size == 0:
+                return boxes
+            px = boxes * np.array([w, h, w, h], np.float32)
+            px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
+            return px / canvas
+
+        return out, box_transform
     u8, box_transform = letterbox_u8(
-        (image * 255).astype(np.uint8)
+        np.rint(image * 255).astype(np.uint8)
         if np.issubdtype(image.dtype, np.floating) else image,
         canvas,
     )

@@ -47,5 +47,6 @@ def use_fused_encoder_attention(num_heads: int, head_dim: int) -> bool:
         return False
     if not use_pallas():
         return False
-    d = num_heads * head_dim
-    return head_dim <= 128 and 128 % head_dim == 0 and d % 128 == 0
+    from arsvt_tpu.ops.pallas.flash_attention import _direct_supported
+
+    return _direct_supported(num_heads, head_dim)

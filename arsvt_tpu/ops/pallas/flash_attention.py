@@ -517,7 +517,18 @@ def fused_encoder_attention(y, wqkv, bqkv, wproj, bproj, num_heads,
     Returns (B,S,D): out_proj(attention(qkv_proj(y))). Equivalent to the
     unfused qkv-matmul → self_attention_from_qkv → proj-matmul composition
     (tested against it) with transpose-free kernels and leaner residuals.
+
+    Raises ValueError on head geometries the 128-lane column-block kernel
+    cannot cover (requires head_dim | 128 and 128 | D) — e.g. the DeiT-400d
+    detector's H=8/d=50; dispatch routes those to the transpose path.
     """
+    d = y.shape[-1]
+    if d % num_heads or not _direct_supported(num_heads, d // num_heads):
+        raise ValueError(
+            f"fused_encoder_attention: unsupported geometry D={d}, "
+            f"H={num_heads} (need head_dim dividing 128 and 128 dividing D);"
+            " use the qkv/flash path instead"
+        )
     out, _ = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
                                 interpret)
     return out

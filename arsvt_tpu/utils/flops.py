@@ -44,11 +44,20 @@ def detr_head_fwd_gflops(head, embed_dim: int, num_patches: int) -> float:
     return (head.depth * per_block + heads) / 1e9
 
 
+def train_flops_multiplier(remat: bool, remat_policy: str = "full") -> float:
+    """fwd-equivalents per train step: fwd + backward (≈2× fwd) + the
+    policy's recompute — full fwd for "full"/"dots"/"names", MLP fc1+gelu
+    (~0.3× fwd) for "all_but_mlp", elementwise gelu only for "mlp_tail".
+    Single source of truth shared by Trainer telemetry and bench.py."""
+    if not remat:
+        return 3.0
+    return {"all_but_mlp": 3.3, "mlp_tail": 3.05}.get(remat_policy, 4.0)
+
+
 def train_gflops_per_image(cfg) -> float:
     """Per-image GFLOPs of one train step under `cfg` (TrainConfig).
-
-    backward ≈ 2× forward; full remat adds ≈ 1 more forward.
-    """
+    Deep-supervision aux losses rerun only the shared output heads per
+    intermediate decoder layer — negligible, ignored."""
     from arsvt_tpu.train.config import resolve_backbone, resolve_detector
 
     if cfg.task == "detect":
@@ -56,11 +65,6 @@ def train_gflops_per_image(cfg) -> float:
         fwd = backbone_fwd_gflops(det.backbone) + detr_head_fwd_gflops(
             det.head, det.backbone.embed_dim, det.backbone.num_patches
         )
-        if cfg.aux_loss:
-            # deep supervision reruns only the shared output heads per
-            # intermediate layer — negligible, ignored
-            pass
     else:
         fwd = backbone_fwd_gflops(resolve_backbone(cfg))
-    mult = 4.0 if cfg.remat else 3.0
-    return fwd * mult
+    return fwd * train_flops_multiplier(cfg.remat, cfg.remat_policy)

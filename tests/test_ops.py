@@ -94,3 +94,22 @@ def test_patch_embed_equals_conv():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(conv.reshape(2, 4, 10)), atol=1e-4
     )
+
+
+def test_fused_encoder_attention_rejects_unsupported_geometry():
+    """The 128-lane column-block kernel cannot cover e.g. DeiT-400d's
+    H=8/d=50 — the public entry must error, not compute garbage (dispatch
+    routes such geometries to the qkv/flash path)."""
+    import pytest as _pytest
+
+    from arsvt_tpu.ops.pallas.flash_attention import fused_encoder_attention
+
+    d, h = 400, 8
+    y = jnp.zeros((2, 8, d), jnp.bfloat16)
+    with _pytest.raises(ValueError, match="unsupported geometry"):
+        fused_encoder_attention(
+            y, jnp.zeros((d, 3 * d), jnp.bfloat16),
+            jnp.zeros((3 * d,), jnp.bfloat16),
+            jnp.zeros((d, d), jnp.bfloat16),
+            jnp.zeros((d,), jnp.bfloat16), h,
+        )
