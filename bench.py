@@ -38,14 +38,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def vit_b_fwd_gflops(image_size=224, patch=16, d=768, depth=12, mlp=3072):
-    """Analytic fwd FLOPs per image (2*MACs)."""
-    s = (image_size // patch) ** 2 + 1
-    per_block = 2 * s * d * (3 * d) + 2 * s * d * d + 2 * 2 * s * d * mlp
-    attn = 2 * 2 * s * s * d
-    patch_embed = 2 * s * (patch * patch * 3) * d
-    head = 2 * d * 6
-    return (depth * (per_block + attn) + patch_embed + head) / 1e9
+def vit_b_fwd_gflops():
+    """Analytic fwd FLOPs per image (2*MACs) — shared model from
+    utils/flops.py plus the 6-class classifier head term."""
+    from arsvt_tpu.models.registry import get_preset
+    from arsvt_tpu.utils.flops import backbone_fwd_gflops
+
+    bb = get_preset("vit_base_16_224")
+    return backbone_fwd_gflops(bb) + 2 * bb.embed_dim * 6 / 1e9
 
 
 def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
@@ -94,9 +94,9 @@ def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
     float(m["loss"])
     dt = time.perf_counter() - t0
     train_ips = batch_size * steps / dt
-    # fwd + backward(2x fwd) + recompute: MLP fc1+gelu (~0.3x) for
-    # all_but_mlp, gelu only (~0x matmul) for mlp_tail, full fwd for "full"
-    flops_mult = {"all_but_mlp": 3.3, "mlp_tail": 3.05}.get(remat_policy, 4.0)
+    from arsvt_tpu.utils.flops import train_flops_multiplier
+
+    flops_mult = train_flops_multiplier(True, remat_policy)
     fwd_g = vit_b_fwd_gflops()
     tflops = train_ips * flops_mult * fwd_g / 1e3
     log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "
@@ -195,6 +195,8 @@ def main():
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    from arsvt_tpu.utils.flops import train_flops_multiplier
+
     train_ips, eval_ips, state = bench_train(
         batch_size=args.batch_size, remat_policy=args.remat_policy
     )
@@ -221,13 +223,14 @@ def main():
         "detector_train_images_per_sec": (
             round(det_ips, 1) if det_ips else None
         ),
-        "effective_tflops": round(
-            train_ips * 3.3 * vit_b_fwd_gflops() / 1e3, 1
-        ),
-        "pct_of_chip_matmul_roofline": round(
-            train_ips * 3.3 * vit_b_fwd_gflops() / 1e3 / 108.0 * 100, 1
-        ),
     }
+    result["effective_tflops"] = round(
+        train_ips * train_flops_multiplier(True, args.remat_policy)
+        * vit_b_fwd_gflops() / 1e3, 1,
+    )
+    result["pct_of_chip_matmul_roofline"] = round(
+        result["effective_tflops"] / 108.0 * 100, 1
+    )
     if ips_512 is not None:
         result["batch512_images_per_sec"] = round(ips_512, 1)
     print(json.dumps(result))
