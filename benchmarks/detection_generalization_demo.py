@@ -83,7 +83,7 @@ def main():
     cfg = TrainConfig(
         preset="detector_demo_96", task="detect", num_classes=6,
         batch_size=BS, image_size=CANVAS, canvas=CANVAS,
-        augment="none",
+        augment=os.environ.get("DEMO_AUG", "none"),
         learning_rate=float(os.environ.get("DEMO_LR", "3e-4")),
         weight_decay=1e-4,
         warmup_steps=min(500, STEPS // 10), total_steps=STEPS,

@@ -61,7 +61,7 @@ def timeit(fn, *args, steps=STEPS, sync):
 def main():
     cfg = TrainConfig(preset="vit_base_16_224", batch_size=BS, bf16=True,
                       augment="none", canvas=224, total_steps=10**6,
-                      remat=True)
+                      remat=True, remat_policy="all_but_mlp")
     bb = resolve_backbone(cfg)
     policy = DEFAULT_POLICY
     params = init_image_classifier(jax.random.PRNGKey(0), bb, 6)
@@ -77,7 +77,8 @@ def main():
         cp = policy.cast_to_compute(p)
         logits = apply_image_classifier(
             cp, images.astype(policy.compute_dtype), bb, 6,
-            train=True, rng=rng, remat=True)
+            train=True, rng=rng, remat=True,
+            remat_policy=cfg.remat_policy)
         return softmax_cross_entropy(logits, labels, num_classes=6)
 
     # A: forward only
@@ -141,6 +142,29 @@ def main():
     print(f"flash fwd x1 layer: {t_fa:6.2f} ms; fwd+bwd: {t_fab:6.2f} ms",
           file=sys.stderr, flush=True)
 
+    # the production path: fused qkv-proj->attention->out-proj block
+    from arsvt_tpu.ops.pallas.flash_attention import fused_encoder_attention
+
+    d = bb.embed_dim
+    y = jnp.asarray(np.random.default_rng(3).normal(
+        size=(BS, bb.seq_len, d)) * 0.02, jnp.bfloat16)
+    wqkv = jnp.asarray(np.random.default_rng(4).normal(
+        size=(d, 3 * d)) * 0.02, jnp.bfloat16)
+    wproj = jnp.asarray(np.random.default_rng(5).normal(
+        size=(d, d)) * 0.02, jnp.bfloat16)
+    bq = jnp.zeros((3 * d,), jnp.bfloat16)
+    bp = jnp.zeros((d,), jnp.bfloat16)
+
+    feb = jax.jit(lambda y: fused_encoder_attention(
+        y, wqkv, bq, wproj, bp, bb.num_heads))
+    t_fe = timeit(feb, y, sync=lambda o: float(o[0, 0, 0].astype(jnp.float32)))
+    febb = jax.jit(jax.grad(lambda y: jnp.sum(fused_encoder_attention(
+        y, wqkv, bq, wproj, bp, bb.num_heads).astype(jnp.float32) ** 2)))
+    t_feb = timeit(febb, y,
+                   sync=lambda o: float(o[0, 0, 0].astype(jnp.float32)))
+    print(f"fused attn block x1 layer: fwd {t_fe:6.2f} ms; "
+          f"fwd+bwd {t_feb:6.2f} ms", file=sys.stderr, flush=True)
+
     result = {
         "batch_size": BS,
         "fwd_ms": round(t_a, 1),
@@ -151,7 +175,9 @@ def main():
         "img_per_s": round(BS / t_d * 1e3, 1),
         "flash_fwd_per_layer_ms": round(t_fa, 2),
         "flash_fwdbwd_per_layer_ms": round(t_fab, 2),
-        "attention_share_of_step": round(12 * t_fab / t_d, 3),
+        "fused_block_fwd_per_layer_ms": round(t_fe, 2),
+        "fused_block_fwdbwd_per_layer_ms": round(t_feb, 2),
+        "attention_share_of_step": round(12 * t_feb / t_d, 3),
     }
     print(json.dumps(result))
 
