@@ -79,7 +79,9 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
                       iou_thresholds=None):
     """COCO-protocol AP. predictions: list per image of dicts with numpy
     'boxes' (N,4) xyxy, 'scores' (N,), 'labels' (N,); ground_truths: list
-    per image of 'boxes' (M,4), 'labels' (M,).
+    per image of 'boxes' (M,4), 'labels' (M,) and optionally 'iscrowd'
+    (M,) — crowd GT are COCO ignore regions: they don't count toward
+    recall, and detections overlapping them are neither TP nor FP.
 
     Returns {"mAP", "AP50", "AP75", "per_class": {cls: AP}}.
     """
@@ -92,12 +94,18 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
         dets = []  # (img_idx, score, box)
         n_gt = 0
         gts_per_img = []
+        crowds_per_img = []
         for i, (pred, gt) in enumerate(zip(predictions, ground_truths)):
             sel = pred["labels"] == ci
             for s, b in zip(pred["scores"][sel], pred["boxes"][sel]):
                 dets.append((i, float(s), b))
-            g = gt["boxes"][gt["labels"] == ci]
+            cls_sel = gt["labels"] == ci
+            crowd = np.asarray(
+                gt.get("iscrowd", np.zeros(len(gt["labels"]))), bool
+            )
+            g = gt["boxes"][cls_sel & ~crowd]
             gts_per_img.append(g)
+            crowds_per_img.append(gt["boxes"][cls_sel & crowd])
             n_gt += len(g)
         if n_gt == 0:
             continue
@@ -109,16 +117,25 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
             fp = np.zeros(len(dets))
             for di, (img, _, box) in enumerate(dets):
                 g = gts_per_img[img]
-                if len(g) == 0:
-                    fp[di] = 1
-                    continue
-                ious = _iou_one_to_many(box, g)
-                best = int(np.argmax(ious))
-                if ious[best] >= thr and not matched[img][best]:
-                    matched[img][best] = True
-                    tp[di] = 1
-                else:
-                    fp[di] = 1
+                if len(g):
+                    # best-IoU *unmatched* GT (COCO: an already-claimed GT
+                    # doesn't shadow a lower-IoU free one)
+                    ious = np.where(
+                        matched[img], -1.0, _iou_one_to_many(box, g)
+                    )
+                    best = int(np.argmax(ious))
+                    if ious[best] >= thr:
+                        matched[img][best] = True
+                        tp[di] = 1
+                        continue
+                crowd = crowds_per_img[img]
+                if len(crowd):
+                    # intersection-over-detection vs crowd regions: inside
+                    # a crowd -> ignored, not a false positive
+                    iod = _intersection_over_det(box, crowd)
+                    if iod.max() >= thr:
+                        continue
+                fp[di] = 1
             ctp = np.cumsum(tp)
             cfp = np.cumsum(fp)
             recall = ctp / n_gt
@@ -148,6 +165,17 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
             for c in range(num_classes)
         },
     }
+
+
+def _intersection_over_det(box, boxes):
+    """Intersection area / detection area against each box (COCO's crowd
+    overlap: how much of the detection lies inside the region)."""
+    lt = np.maximum(box[:2], boxes[:, :2])
+    rb = np.minimum(box[2:], boxes[:, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area = max((box[2] - box[0]) * (box[3] - box[1]), 1e-9)
+    return inter / area
 
 
 def _iou_one_to_many(box, boxes):
@@ -190,10 +218,13 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
                 "labels": post["labels"][i][sel],
             })
             gmask = np.asarray(batch["mask"][i])
-            ground_truths.append({
+            g = {
                 "boxes": np.asarray(batch["boxes"][i])[gmask],
                 "labels": np.asarray(batch["labels"][i])[gmask],
-            })
+            }
+            if "iscrowd" in batch:  # COCO ignore regions, see data contract
+                g["iscrowd"] = np.asarray(batch["iscrowd"][i])[gmask]
+            ground_truths.append(g)
         n_batches += 1
     ap = average_precision(
         predictions, ground_truths, num_classes=num_classes

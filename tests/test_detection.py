@@ -171,3 +171,41 @@ def test_detr_aux_outputs_and_loss(cpu_mesh):
     # aux sums per-layer losses on top of the final-layer loss
     assert losses[True] > losses[False]
     assert np.isfinite(losses[True])
+
+
+def test_average_precision_best_unmatched_gt():
+    """COCO matching: a detection may claim a lower-IoU *unmatched* GT when
+    its best-IoU GT is already taken (an argmax-only matcher would count a
+    false positive here)."""
+    gt = [{"boxes": np.array([[0.0, 0.0, 1.0, 1.0],
+                              [0.1, 0.1, 1.1, 1.1]]),
+           "labels": np.array([0, 0])}]
+    preds = [{"boxes": np.array([[0.0, 0.0, 1.0, 1.0],
+                                 [0.02, 0.02, 1.0, 1.0]]),
+              "scores": np.array([0.9, 0.8]),
+              "labels": np.array([0, 0])}]
+    res = average_precision(preds, gt, num_classes=1,
+                            iou_thresholds=[0.5])
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_average_precision_iscrowd_ignored():
+    """Crowd GT are ignore regions: no recall demand, and detections inside
+    them are neither TP nor FP."""
+    gt = [{"boxes": np.array([[0.1, 0.1, 0.4, 0.4],
+                              [0.5, 0.5, 1.0, 1.0]]),
+           "labels": np.array([0, 0]),
+           "iscrowd": np.array([0, 1])}]
+    preds = [{"boxes": np.array([[0.1, 0.1, 0.4, 0.4],
+                                 [0.6, 0.6, 0.9, 0.9]]),
+              "scores": np.array([0.9, 0.8]),
+              "labels": np.array([0, 0])}]
+    res = average_precision(preds, gt, num_classes=1,
+                            iou_thresholds=[0.5])
+    # the crowd-region hit is ignored, the real GT is found: perfect AP
+    assert res["AP50"] == pytest.approx(1.0)
+    # without iscrowd the second det is a plain false positive
+    gt2 = [{"boxes": gt[0]["boxes"], "labels": gt[0]["labels"]}]
+    res2 = average_precision(preds, gt2, num_classes=1,
+                             iou_thresholds=[0.5])
+    assert res2["AP50"] < 1.0
