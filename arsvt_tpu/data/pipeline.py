@@ -208,7 +208,10 @@ def detection_batches(
 ) -> Iterator[dict]:
     """Yields {"image": (B,canvas,canvas,3) uint8 raw bytes (default; the
     jitted step rescales on device) or f32 [0,1] with image_dtype=float32,
-    "boxes": (B,M,4), "labels": (B,M), "mask": (B,M), "image_id": (B,)}."""
+    "boxes": (B,M,4), "labels": (B,M), "mask": (B,M), "area": (B,M),
+    "iscrowd": (B,M), "image_id": (B,)} — area/iscrowd ride along for the
+    reference's full target contract (train.py:151-157); losses ignore
+    them, COCO eval reads iscrowd as ignore regions."""
 
     def gen():
         # per-host sharding: every host shuffles with the same seed and
@@ -230,7 +233,9 @@ def detection_batches(
                     [r.path for r in recs], canvas, records=recs,
                     dtype=image_dtype,
                 )
-                boxes, labels, masks, ids = [], [], [], []
+                boxes, labels, masks, areas, crowds, ids = (
+                    [], [], [], [], [], []
+                )
                 for i, rec, tf in zip(idxs, recs, tfs):
                     t = ds.padded_target(int(i), max_objects)
                     n = min(len(rec.boxes), max_objects)
@@ -239,12 +244,16 @@ def detection_batches(
                     boxes.append(t["boxes"])
                     labels.append(t["labels"])
                     masks.append(t["mask"])
+                    areas.append(t["area"])
+                    crowds.append(t["iscrowd"])
                     ids.append(t["image_id"])
                 yield {
                     "image": images,
                     "boxes": np.stack(boxes),
                     "labels": np.stack(labels),
                     "mask": np.stack(masks),
+                    "area": np.stack(areas),
+                    "iscrowd": np.stack(crowds),
                     "image_id": np.asarray(ids, np.int32),
                 }
             epoch += 1
