@@ -48,19 +48,20 @@ def vit_b_fwd_gflops():
     return backbone_fwd_gflops(bb) + 2 * bb.embed_dim * 6 / 1e9
 
 
-def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
-                remat_policy: str = "all_but_mlp"):
+def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
+                remat_policy: str = "none"):
     from arsvt_tpu.train.config import TrainConfig
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
-    # champion config (round 2): selective MLP-only rematerialisation —
-    # the packed flash VJP (saves qkv_flat, not transposed q/k/v) plus
-    # recomputing only the (B,S,M) MLP internals fits bs256 with every
-    # other residual saved; measured 647 img/s vs full remat's 641
+    # champion config (round 2): NO rematerialisation at batch 192 —
+    # the fused-attention residual diet (no transposed q/k/v copies,
+    # (B,H,1,S) lse) shrinks no-remat to ~12.4 GB at bs192; measured
+    # 838.7 img/s vs 819.7 for all_but_mlp@bs256 (bs256 no-remat OOMs by
+    # 0.85 GB, bs224 measures 815.5 — memory-pressure regression)
     cfg = TrainConfig(
         preset="vit_base_16_224", batch_size=batch_size, bf16=True,
-        augment="crop_flip", canvas=256, total_steps=10**6, remat=True,
-        remat_policy=remat_policy,
+        augment="crop_flip", canvas=256, total_steps=10**6,
+        remat=remat_policy != "none", remat_policy=remat_policy,
     )
     init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -96,7 +97,8 @@ def bench_train(batch_size: int = 256, steps: int = 20, warmup: int = 3,
     train_ips = batch_size * steps / dt
     from arsvt_tpu.utils.flops import train_flops_multiplier
 
-    flops_mult = train_flops_multiplier(True, remat_policy)
+    flops_mult = train_flops_multiplier(remat_policy != "none",
+                                        remat_policy)
     fwd_g = vit_b_fwd_gflops()
     tflops = train_ips * flops_mult * fwd_g / 1e3
     log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "
@@ -188,10 +190,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=192)
     ap.add_argument("--with-batch512", action="store_true",
                     help="also report BASELINE config #3's batch-512 number")
-    ap.add_argument("--remat-policy", default="all_but_mlp")
+    ap.add_argument("--remat-policy", default="none")
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -225,7 +227,8 @@ def main():
         ),
     }
     result["effective_tflops"] = round(
-        train_ips * train_flops_multiplier(True, args.remat_policy)
+        train_ips * train_flops_multiplier(args.remat_policy != "none",
+                                           args.remat_policy)
         * vit_b_fwd_gflops() / 1e3, 1,
     )
     result["pct_of_chip_matmul_roofline"] = round(
