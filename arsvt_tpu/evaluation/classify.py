@@ -23,16 +23,29 @@ from arsvt_tpu.objectives.classification import confusion_matrix
 
 def evaluate_classifier(
     params, batches: Iterator[dict], backbone_cfg, num_classes: int,
-    *, compute_dtype=jnp.bfloat16,
+    *, compute_dtype=jnp.bfloat16, normalize_inputs: bool = False,
 ) -> dict:
-    """Full eval sweep -> {top1, per_class_accuracy, confusion_matrix, n}."""
+    """Full eval sweep -> {top1, per_class_accuracy, confusion_matrix, n}.
+
+    `normalize_inputs` must match the checkpoint's training contract: pass
+    `cfg.augment != "none"` — crop_flip/randaugment training normalizes
+    (ImageNet stats) inside the step, so eval must too (train_step.py's
+    eval_step applies the same rule; this standalone API mirrors it).
+    """
 
     @jax.jit
     def step(params, images, labels):
         from arsvt_tpu.core.dtypes import to_unit_float
 
+        x = to_unit_float(images, jnp.float32)
+        if normalize_inputs:
+            from arsvt_tpu.data.augment import eval_preprocess
+
+            x = jax.vmap(
+                lambda im: eval_preprocess(im, size=backbone_cfg.image_size)
+            )(x)
         logits = apply_image_classifier(
-            params, to_unit_float(images, compute_dtype), backbone_cfg,
+            params, x.astype(compute_dtype), backbone_cfg,
             num_classes,
         )
         preds = jnp.argmax(logits, axis=-1)
@@ -60,16 +73,35 @@ def evaluate_classifier(
     }
 
 
+def _load_letterboxed_single(path: str, size: int) -> np.ndarray:
+    """Decode one image + letterbox to (size, size, 3): native C++ core
+    when built, PIL fallback otherwise. Shared by both streaming paths."""
+    from arsvt_tpu.data import native_loader
+
+    if native_loader.available():
+        images, meta = native_loader.load_letterboxed_batch([path], size)
+        if meta[0, 3] == 0.0:
+            raise ValueError(f"undecodable image: {path}")
+        return images[0]
+    from arsvt_tpu.data.pipeline import letterbox, load_image
+
+    image, _ = letterbox(load_image(path), size)
+    return image
+
+
 class StreamingClassifier:
     """Single-image classify path for the physical sorter loop.
 
-    Pre-compiles a batch-1 forward; `__call__` takes one HWC uint8/float
-    image and returns (class_index, class_name, probs). Tracks latency for
-    the p50 metric.
+    Pre-compiles a batch-1 forward; `__call__` takes one HWC uint8 or
+    [0,1]-float image and returns (class_index, class_name, probs) —
+    uint8 is rescaled and (when `normalize_inputs`, the default, matching
+    checkpoints trained with augment != "none") ImageNet-normalized inside
+    the jitted forward. Tracks latency for the p50 metric.
     """
 
     def __init__(self, params, backbone_cfg, num_classes: int,
-                 *, compute_dtype=jnp.bfloat16, preprocess=None):
+                 *, compute_dtype=jnp.bfloat16, preprocess=None,
+                 normalize_inputs: bool = True):
         self._cfg = backbone_cfg
         self._n = num_classes
         self._preprocess = preprocess
@@ -77,8 +109,15 @@ class StreamingClassifier:
 
         @jax.jit
         def infer(params, image):
+            from arsvt_tpu.core.dtypes import to_unit_float
+
+            x = to_unit_float(image, jnp.float32)
+            if normalize_inputs:
+                from arsvt_tpu.data.augment import normalize
+
+                x = normalize(x)
             logits = apply_image_classifier(
-                params, image[None].astype(compute_dtype),
+                params, x[None].astype(compute_dtype),
                 backbone_cfg, num_classes,
             )
             probs = jax.nn.softmax(logits[0].astype(jnp.float32))
@@ -108,26 +147,11 @@ class StreamingClassifier:
         return idx, name, probs
 
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
-        """Full sorter-loop step: JPEG decode → letterbox → resize/normalize
-        → classify (BASELINE config #5). Decode uses the native C++ core
-        when built."""
-        size = self._cfg.image_size
-        from arsvt_tpu.data import native_loader
-
+        """Full sorter-loop step: JPEG decode → letterbox → rescale/
+        normalize (inside the jitted forward) → classify (BASELINE config
+        #5). Decode uses the native C++ core when built."""
         t0 = time.perf_counter()
-        if native_loader.available():
-            images, meta = native_loader.load_letterboxed_batch([path], size)
-            if meta[0, 3] == 0.0:
-                raise ValueError(f"undecodable image: {path}")
-            image = images[0]
-        else:
-            from arsvt_tpu.data.pipeline import letterbox, load_image
-
-            image, _ = letterbox(load_image(path), size)
-        if self._preprocess is None:
-            from arsvt_tpu.data.augment import normalize
-
-            image = normalize(jnp.asarray(image))
+        image = _load_letterboxed_single(path, self._cfg.image_size)
         result = self(image)
         # replace the __call__ latency with the full decode-included one
         self._latencies[-1] = time.perf_counter() - t0
@@ -151,7 +175,11 @@ class StreamingDetector:
     for the sorter's detection mode."""
 
     def __init__(self, params, detector_cfg, *, compute_dtype=jnp.bfloat16,
-                 conf_threshold: float = 0.5, nms_threshold: float = 0.5):
+                 conf_threshold: float = 0.5, nms_threshold: float = 0.5,
+                 normalize_inputs: bool = True):
+        """`normalize_inputs` must match the training contract: True for
+        checkpoints trained with augment="detection" (the pipeline
+        normalizes), False for augment="none" (raw [0,1] inputs)."""
         from arsvt_tpu.data.augment import normalize
         from arsvt_tpu.evaluation.detect import post_process
         from arsvt_tpu.models.detector import apply_detector
@@ -162,8 +190,13 @@ class StreamingDetector:
 
         @jax.jit
         def infer(params, image):
+            from arsvt_tpu.core.dtypes import to_unit_float
+
+            x = to_unit_float(image, jnp.float32)
+            if normalize_inputs:
+                x = normalize(x)
             out = apply_detector(
-                params, normalize(image)[None].astype(compute_dtype),
+                params, x[None].astype(compute_dtype),
                 detector_cfg, train=False,
             )
             return post_process(
@@ -179,20 +212,8 @@ class StreamingDetector:
         )
 
     def detect_path(self, path: str) -> dict:
-        from arsvt_tpu.data import native_loader
-
         t0 = time.perf_counter()
-        if native_loader.available():
-            images, meta = native_loader.load_letterboxed_batch(
-                [path], self._size
-            )
-            if meta[0, 3] == 0.0:
-                raise ValueError(f"undecodable image: {path}")
-            image = images[0]
-        else:
-            from arsvt_tpu.data.pipeline import letterbox, load_image
-
-            image, _ = letterbox(load_image(path), self._size)
+        image = _load_letterboxed_single(path, self._size)
         out = self._infer(self._params, jnp.asarray(image))
         out = {k: np.asarray(v)[0] for k, v in out.items()}
         sel = out["valid"]

@@ -111,7 +111,7 @@ def _visualize_first_batches(trainer, ds, cfg, args):
     )
     saved = []
     for bi, batch in enumerate(it):
-        if bi >= n_batches:
+        if bi >= n_batches or len(saved) >= args.visualize:
             break
         m = trainer.eval_step(trainer.state["params"], batch)
         out = m["outputs"]
@@ -127,7 +127,8 @@ def _visualize_first_batches(trainer, ds, cfg, args):
             images_f32, posts,
             {"boxes": batch["boxes"], "labels": batch["labels"],
              "mask": batch["mask"]},
-            out_dir="eval_visualizations", batch_index=bi, max_images=2,
+            out_dir="eval_visualizations", batch_index=bi,
+            max_images=min(2, args.visualize - len(saved)),
         )
     print(f"wrote {len(saved)} visualizations to eval_visualizations/",
           file=sys.stderr)

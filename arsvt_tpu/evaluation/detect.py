@@ -110,31 +110,37 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
         if n_gt == 0:
             continue
         dets.sort(key=lambda t: -t[1])
+        # IoUs are threshold-independent: compute once per detection, reuse
+        # across the 10-threshold sweep (only the greedy matching re-runs)
+        det_ious = [
+            _iou_one_to_many(box, gts_per_img[img])
+            if len(gts_per_img[img]) else None
+            for (img, _, box) in dets
+        ]
+        det_crowd_iod = [
+            float(_intersection_over_det(box, crowds_per_img[img]).max())
+            if len(crowds_per_img[img]) else 0.0
+            for (img, _, box) in dets
+        ]
 
         for ti, thr in enumerate(iou_thresholds):
             matched = [np.zeros(len(g), bool) for g in gts_per_img]
             tp = np.zeros(len(dets))
             fp = np.zeros(len(dets))
             for di, (img, _, box) in enumerate(dets):
-                g = gts_per_img[img]
-                if len(g):
+                if det_ious[di] is not None:
                     # best-IoU *unmatched* GT (COCO: an already-claimed GT
                     # doesn't shadow a lower-IoU free one)
-                    ious = np.where(
-                        matched[img], -1.0, _iou_one_to_many(box, g)
-                    )
+                    ious = np.where(matched[img], -1.0, det_ious[di])
                     best = int(np.argmax(ious))
                     if ious[best] >= thr:
                         matched[img][best] = True
                         tp[di] = 1
                         continue
-                crowd = crowds_per_img[img]
-                if len(crowd):
-                    # intersection-over-detection vs crowd regions: inside
-                    # a crowd -> ignored, not a false positive
-                    iod = _intersection_over_det(box, crowd)
-                    if iod.max() >= thr:
-                        continue
+                # intersection-over-detection vs crowd regions: inside a
+                # crowd -> ignored, not a false positive
+                if det_crowd_iod[di] >= thr:
+                    continue
                 fp[di] = 1
             ctp = np.cumsum(tp)
             cfp = np.cumsum(fp)
@@ -149,12 +155,17 @@ def average_precision(predictions, ground_truths, *, num_classes: int,
 
     import warnings
 
+    def _thr_index(value):
+        hits = np.where(np.isclose(np.asarray(iou_thresholds), value))[0]
+        return int(hits[0]) if len(hits) else None
+
+    i50, i75 = _thr_index(0.5), _thr_index(0.75)
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
         # all-NaN rows (classes absent from the split) are expected
         warnings.simplefilter("ignore", category=RuntimeWarning)
         per_class = np.nanmean(ap_table, axis=0)
-        ap50 = np.nanmean(ap_table[0])
-        ap75 = np.nanmean(ap_table[5]) if len(iou_thresholds) > 5 else np.nan
+        ap50 = np.nanmean(ap_table[i50]) if i50 is not None else np.nan
+        ap75 = np.nanmean(ap_table[i75]) if i75 is not None else np.nan
         mean_ap = np.nanmean(ap_table)
     return {
         "mAP": float(mean_ap) if np.isfinite(mean_ap) else 0.0,
@@ -192,9 +203,17 @@ def _iou_one_to_many(box, boxes):
 
 def evaluate_detector(eval_step, params, batches, *, num_classes: int,
                       conf_threshold: float = 0.5,
-                      nms_threshold: float = 0.5):
-    """Sweep: per-batch jitted forward + post-process, host-side AP."""
-    predictions, ground_truths = [], []
+                      nms_threshold: float = 0.5,
+                      ap_conf_threshold: float = 0.05):
+    """Sweep: per-batch jitted forward + post-process, host-side AP.
+
+    COCO AP is defined over the full score-ranked PR curve, so the AP
+    accumulation uses `ap_conf_threshold` (low floor, 0.05) — filtering at
+    the user-facing `conf_threshold` first would truncate recall and
+    systematically understate mAP. The count statistics (the reference's
+    metric surface) still use `conf_threshold`.
+    """
+    predictions, ap_predictions, ground_truths = [], [], []
     total_loss, n_batches = 0.0, 0
     parts_sum: dict = {}
     for batch in batches:
@@ -210,12 +229,23 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
             conf_threshold=conf_threshold, nms_threshold=nms_threshold,
         )
         post = {k: np.asarray(v) for k, v in post.items()}
+        ap_post = post_process(
+            out["class_logits"], out["boxes_cxcywh"],
+            conf_threshold=ap_conf_threshold, nms_threshold=nms_threshold,
+        )
+        ap_post = {k: np.asarray(v) for k, v in ap_post.items()}
         for i in range(post["boxes"].shape[0]):
             sel = post["valid"][i]
             predictions.append({
                 "boxes": post["boxes"][i][sel],
                 "scores": post["scores"][i][sel],
                 "labels": post["labels"][i][sel],
+            })
+            ap_sel = ap_post["valid"][i]
+            ap_predictions.append({
+                "boxes": ap_post["boxes"][i][ap_sel],
+                "scores": ap_post["scores"][i][ap_sel],
+                "labels": ap_post["labels"][i][ap_sel],
             })
             gmask = np.asarray(batch["mask"][i])
             g = {
@@ -227,7 +257,7 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
             ground_truths.append(g)
         n_batches += 1
     ap = average_precision(
-        predictions, ground_truths, num_classes=num_classes
+        ap_predictions, ground_truths, num_classes=num_classes
     )
     result = {"loss": total_loss / max(n_batches, 1), **ap}
     for k, v in parts_sum.items():

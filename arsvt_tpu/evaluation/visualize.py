@@ -69,9 +69,11 @@ def visualize_predictions(
     axes[0].imshow(img)
     axes[0].set_title("predictions")
     axes[0].axis("off")
+    scores = pred.get("scores")
     _draw_boxes(axes[0], np.asarray(pred["boxes"]),
                 np.asarray(pred["labels"]),
-                np.asarray(pred.get("scores")), class_names, h, w)
+                None if scores is None else np.asarray(scores),
+                class_names, h, w)
     if gt is not None:
         axes[1].imshow(img)
         axes[1].set_title("ground truth")

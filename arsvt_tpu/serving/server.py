@@ -64,18 +64,25 @@ class InferenceServer:
         trainer.state, _ = trainer.ckpt.restore(trainer.state, step=step)
         params = trainer.state["params"]
 
+        # preprocessing contract rides with the checkpoint: training with
+        # augment="none" feeds raw [0,1] images, every other mode ImageNet-
+        # normalizes inside the step — serving must match or every response
+        # is computed on a wrongly-scaled input
+        normalize_inputs = cfg.augment != "none"
         if cfg.task == "detect":
             from arsvt_tpu.evaluation.classify import StreamingDetector
             from arsvt_tpu.train.config import resolve_detector
 
             return cls(detector=StreamingDetector(
-                params, resolve_detector(cfg)
+                params, resolve_detector(cfg),
+                normalize_inputs=normalize_inputs,
             ))
         from arsvt_tpu.evaluation.classify import StreamingClassifier
         from arsvt_tpu.train.config import resolve_backbone
 
         return cls(classifier=StreamingClassifier(
-            params, resolve_backbone(cfg), cfg.num_classes
+            params, resolve_backbone(cfg), cfg.num_classes,
+            normalize_inputs=normalize_inputs,
         ))
 
     # ----------------------------------------------------------- handlers
@@ -89,14 +96,15 @@ class InferenceServer:
 
     def _classify(self, body: bytes) -> dict:
         from arsvt_tpu.data.pipeline import letterbox
-        from arsvt_tpu.data.augment import normalize
         import jax.numpy as jnp
         import time
 
         t0 = time.perf_counter()
+        # rescale + normalization happen inside the classifier's jitted
+        # forward, per its normalize_inputs contract
         img, _ = letterbox(self._decode(body), self._clf._cfg.image_size)
         with self._lock:
-            idx, name, probs = self._clf(normalize(jnp.asarray(img)))
+            idx, name, probs = self._clf(jnp.asarray(img))
         return {
             "class": int(idx),
             "class_name": name,

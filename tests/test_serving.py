@@ -90,3 +90,32 @@ def test_stats_after_requests(server):
     with urllib.request.urlopen(server + "/stats", timeout=30) as r:
         data = json.loads(r.read())
     assert data["classify"]["n"] >= 1
+
+
+def test_streaming_preprocessing_contract():
+    """uint8 frames rescale on device, and normalize_inputs matches the
+    augment!="none" training contract (normalized vs raw inputs give
+    different logits; uint8 vs its [0,1]-float twin give identical ones)."""
+    import jax.numpy as jnp
+
+    cfg = get_preset("vit_test_8_32")
+    params = init_image_classifier(jax.random.PRNGKey(1), cfg, 6)
+    # the classifier head is zero-init (logits identically 0 at init, so
+    # softmax probs cannot distinguish inputs) — randomize it for the test
+    params["classifier"] = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(jax.random.PRNGKey(7), x.shape, x.dtype),
+        params["classifier"],
+    )
+    u8 = (np.random.default_rng(3).uniform(size=(32, 32, 3)) * 255).astype(
+        np.uint8
+    )
+    f32 = u8.astype(np.float32) / 255.0
+
+    norm = StreamingClassifier(params, cfg, 6, compute_dtype=jnp.float32)
+    raw = StreamingClassifier(params, cfg, 6, compute_dtype=jnp.float32,
+                              normalize_inputs=False)
+    _, _, p_u8 = norm(u8)
+    _, _, p_f32 = norm(f32)
+    np.testing.assert_allclose(p_u8, p_f32, atol=1e-6)
+    _, _, p_raw = raw(f32)
+    assert not np.allclose(p_u8, p_raw)
