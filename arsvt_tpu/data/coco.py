@@ -58,8 +58,22 @@ class CocoDataset:
         with open(os.path.join(split_dir, annotations_file)) as f:
             coco = json.load(f)
 
-        # contiguous label maps (sorted by category id, train.py:29-35)
+        # contiguous label maps. When every category name belongs to the
+        # canonical recycling taxonomy, labels follow the TAXONOMY order
+        # (data/taxonomy.py: "mapped onto it by name") so class indices mean
+        # the same thing across datasets and match the RECYCLING_CLASSES
+        # names that evaluation/streaming display — a sorted-id mapping
+        # (the reference's rule, train.py:29-35) silently mislabels every
+        # prediction for exports whose id order differs (e.g. alphabetical
+        # Roboflow exports). Unknown names fall back to sorted-id order.
+        from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+
         cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+        names = [c["name"].lower() for c in cats]
+        if cats and set(names) <= set(RECYCLING_CLASSES) and (
+                len(set(names)) == len(names)):
+            order = {n: i for i, n in enumerate(RECYCLING_CLASSES)}
+            cats = sorted(cats, key=lambda c: order[c["name"].lower()])
         self.category_id_to_label = {c["id"]: i for i, c in enumerate(cats)}
         self.label_to_category_id = {i: c["id"] for i, c in enumerate(cats)}
         self.class_names = [c["name"] for c in cats]

@@ -68,7 +68,7 @@ def available() -> bool:
 
 def load_letterboxed_batch(paths: list[str], canvas: int,
                            *, threads: int | None = None,
-                           dtype=np.float32):
+                           dtype=np.float32, strict: bool = True):
     """Decode+letterbox a batch natively.
 
     Returns (images (B, canvas, canvas, 3), meta (B, 4) fp32
@@ -76,6 +76,12 @@ def load_letterboxed_batch(paths: list[str], canvas: int,
     4x less host RAM and H2D traffic than fp32 [0,1] (the device rescales
     at the top of the jitted step); `np.float32` emits [0,1].
     Raises RuntimeError if the native library is unavailable.
+
+    `strict=True` (default) raises ValueError when any image fails to
+    decode — matching the PIL fallback, which raises on corrupt files.
+    The C++ core zero-fills failed slots and flags meta ok=0; silently
+    training on black images with identity box transforms is the failure
+    mode this guards. `strict=False` returns them flagged instead.
     """
     lib = _load()
     if lib is None:
@@ -99,6 +105,13 @@ def load_letterboxed_batch(paths: list[str], canvas: int,
             images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
+    if strict:
+        failed = np.where(meta[:, 3] == 0.0)[0]
+        if failed.size:
+            sample = [paths[i] for i in failed[:5]]
+            raise ValueError(
+                f"{failed.size} image(s) failed to decode, e.g. {sample}"
+            )
     return images, meta
 
 

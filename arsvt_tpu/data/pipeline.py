@@ -124,10 +124,12 @@ def load_letterboxed(paths, canvas: int, records=None, dtype=np.uint8):
     images, transforms = [], []
     u8 = np.dtype(dtype) == np.uint8
     for p in paths:
-        if u8:
-            img, tf = letterbox_u8(load_image_u8(p), canvas)
-        else:
-            img, tf = letterbox(load_image(p), canvas)
+        # decode is 8-bit either way (JPEG/PNG); letterbox in uint8 and
+        # rescale once at the end for float callers — no fp32 decode pass,
+        # no quantization round-trip
+        img, tf = letterbox_u8(load_image_u8(p), canvas)
+        if not u8:
+            img = img.astype(np.float32) / 255.0
         images.append(img)
         transforms.append(tf)
     return np.stack(images), transforms
@@ -146,6 +148,7 @@ class Prefetcher:
         self._done = object()
         self._err: BaseException | None = None
         self._stop = threading.Event()
+        self._exhausted = False
 
         def worker():
             try:
@@ -181,10 +184,19 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        if self._stop.is_set() and self._q.empty():
+        # the _done sentinel is enqueued exactly once — remember it, or a
+        # second next() after exhaustion would block forever in q.get()
+        if self._exhausted or (self._stop.is_set() and self._q.empty()):
             raise StopIteration
-        item = self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if self._stop.is_set():  # close() racing a blocked consumer
+                    raise StopIteration from None
         if item is self._done:
+            self._exhausted = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

@@ -67,13 +67,26 @@ def main(argv=None):
 
     ds = CocoDataset(f"{data_dir}/{args.split}")
 
+    # augment="none" checkpoints expect model-native-size inputs (the eval
+    # step applies no resize); augmented ones resize from the canvas inside
+    # eval_pre — mirror train/cli.py's rule
+    if cfg.augment == "none":
+        from arsvt_tpu.train.config import resolve_backbone, resolve_detector
+
+        canvas = cfg.image_size or (
+            resolve_detector(cfg).backbone.image_size
+            if cfg.task == "detect" else resolve_backbone(cfg).image_size
+        )
+    else:
+        canvas = cfg.canvas
+
     if cfg.task == "detect":
         from arsvt_tpu.evaluation.detect import evaluate_detector
 
         if args.visualize:
             _visualize_first_batches(trainer, ds, cfg, args)
         batches = detection_batches(
-            ds, batch_size=args.batch_size, canvas=cfg.canvas,
+            ds, batch_size=args.batch_size, canvas=canvas,
             max_objects=cfg.max_objects, repeat=False, shuffle=False,
             drop_remainder=False,
         )
@@ -85,7 +98,7 @@ def main(argv=None):
         )
     else:
         batches = classification_batches(
-            ds, batch_size=args.batch_size, canvas=cfg.canvas,
+            ds, batch_size=args.batch_size, canvas=canvas,
             repeat=False, shuffle=False, drop_remainder=False,
         )
         results = trainer.evaluate(batches)
@@ -102,10 +115,15 @@ def _visualize_first_batches(trainer, ds, cfg, args):
     from arsvt_tpu.data.pipeline import detection_batches
     from arsvt_tpu.evaluation.detect import post_process
     from arsvt_tpu.evaluation.visualize import visualize_batch
+    from arsvt_tpu.train.config import resolve_detector
 
+    if cfg.augment != "none":
+        canvas = cfg.canvas
+    else:
+        canvas = cfg.image_size or resolve_detector(cfg).backbone.image_size
     n_batches = max(1, (args.visualize + 1) // 2)
     it = detection_batches(
-        ds, batch_size=args.batch_size, canvas=cfg.canvas,
+        ds, batch_size=args.batch_size, canvas=canvas,
         max_objects=cfg.max_objects, repeat=False, shuffle=False,
         drop_remainder=False,
     )

@@ -40,8 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> TrainConfig:
-    cfg = TRAIN_PRESETS.get(args.train_preset, TrainConfig()) \
-        if args.train_preset else TrainConfig()
+    if args.train_preset:
+        if args.train_preset not in TRAIN_PRESETS:
+            raise SystemExit(
+                f"unknown --train-preset {args.train_preset!r}; "
+                f"one of {sorted(TRAIN_PRESETS)}"
+            )
+        cfg = TRAIN_PRESETS[args.train_preset]
+    else:
+        cfg = TrainConfig()
     overrides = {}
     for f in dataclasses.fields(TrainConfig):
         v = getattr(args, f.name, None)
@@ -84,27 +91,47 @@ def make_data(cfg: TrainConfig):
 
     train_ds = CocoDataset(f"{cfg.data_dir}/train")
     val_ds = CocoDataset(f"{cfg.data_dir}/valid")
+    if train_ds.num_classes > cfg.num_classes:
+        raise SystemExit(
+            f"dataset has {train_ds.num_classes} classes "
+            f"({train_ds.class_names}) but num_classes={cfg.num_classes}; "
+            f"pass --num-classes {train_ds.num_classes} (labels beyond "
+            f"num_classes would silently contribute zero CE gradient)"
+        )
+    # with augment="none" the jitted step applies no crop/resize, so batches
+    # must arrive at the model's native size — letterbox straight to
+    # image_size instead of the (larger) augmentation canvas
+    if cfg.augment != "none":
+        canvas = cfg.canvas
+    elif cfg.image_size:
+        canvas = cfg.image_size
+    elif cfg.task == "detect":
+        from arsvt_tpu.train.config import resolve_detector
+
+        canvas = resolve_detector(cfg).backbone.image_size
+    else:
+        canvas = resolve_backbone(cfg).image_size
     if cfg.task == "detect":
         train = detection_batches(
-            train_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+            train_ds, batch_size=cfg.batch_size, canvas=canvas,
             max_objects=cfg.max_objects, seed=cfg.seed,
         )
 
         def eval_batches():
             return detection_batches(
-                val_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+                val_ds, batch_size=cfg.batch_size, canvas=canvas,
                 max_objects=cfg.max_objects, seed=1, repeat=False,
                 shuffle=False, drop_remainder=False,
             )
     else:
         train = classification_batches(
-            train_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+            train_ds, batch_size=cfg.batch_size, canvas=canvas,
             seed=cfg.seed,
         )
 
         def eval_batches():
             return classification_batches(
-                val_ds, batch_size=cfg.batch_size, canvas=cfg.canvas,
+                val_ds, batch_size=cfg.batch_size, canvas=canvas,
                 seed=1, repeat=False, shuffle=False, drop_remainder=False,
             )
 

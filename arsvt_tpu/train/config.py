@@ -147,12 +147,16 @@ TRAIN_PRESETS: dict[str, TrainConfig] = {
     "vit_large_384": TrainConfig(
         preset="vit_large_16_384", batch_size=256, mixup_alpha=0.2,
         label_smoothing=0.1, remat=True,
+        augment="randaugment", canvas=416,  # BASELINE config #4: RandAugment
     ),
-    # the reference's own detector training config (train.py:1345-1392)
+    # the reference's own detector training config (train.py:1345-1392):
+    # the albumentations train pipeline (LongestMaxSize(224) → shadow/flip/
+    # affine/jitter/dropout/normalize, train.py:387-446) is augment=
+    # "detection" on a 224 canvas
     "deit_detector_ref": TrainConfig(
         preset="deit_detector_ref", task="detect", batch_size=32,
         learning_rate=1e-4, weight_decay=1e-4, schedule="plateau",
-        max_objects=25,
+        max_objects=25, augment="detection", canvas=224,
         # the reference trains with dropout 0.1 *including* attention probs
         # (train.py:545,1352); routes attention to the jnp path in training
         attn_dropout=0.1,

@@ -117,11 +117,22 @@ class Trainer:
             if self.state is not None:
                 step_now = int(self.state["step"])
                 if step_now > start:
-                    self.ckpt.save(
-                        step_now, jax.device_get(self.state),
-                        extra={"plateau": dataclasses.asdict(self.plateau)},
-                    )
-                    self.ckpt.wait()
+                    try:
+                        self.ckpt.save(
+                            step_now, jax.device_get(self.state),
+                            extra={
+                                "plateau": dataclasses.asdict(self.plateau)
+                            },
+                        )
+                        self.ckpt.wait()
+                    except Exception as save_err:
+                        # never mask the original failure — e.g. orbax's
+                        # step-already-exists when the crash lands right
+                        # after a periodic save of the same step
+                        import sys
+
+                        print(f"emergency checkpoint failed: {save_err}",
+                              file=sys.stderr)
             raise
         if self._ckpt is not None:
             self._ckpt.wait()
@@ -160,7 +171,10 @@ class Trainer:
                     )
                     set_lr_scale(self.state["opt_state"], self.plateau.scale)
 
-            ckpt_enabled = cfg.checkpoint_every <= steps
+            # >= 10**9 is the presets' "checkpointing off" sentinel; any
+            # smaller cadence keeps the final-step save even for runs
+            # shorter than one cadence interval
+            ckpt_enabled = cfg.checkpoint_every < 10**9
             if ckpt_enabled and (
                 (step + 1) % cfg.checkpoint_every == 0 or step + 1 == steps
             ):

@@ -360,3 +360,46 @@ def test_synthetic_boxes_visible_and_aligned(tmp_path):
             assert err < 0.05, (i, lab, err)
             checked += 1
     assert checked >= 10
+
+
+def test_taxonomy_name_mapping_overrides_id_order(tmp_path):
+    """COCO exports with recycling-taxonomy names but different id order
+    (e.g. alphabetical) map labels by NAME onto the canonical order —
+    otherwise every displayed class name would be silently wrong."""
+    import json as _json
+
+    from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+
+    d = tmp_path / "alpha" / "train"
+    d.mkdir(parents=True)
+    # alphabetical id order: cardboard=1, glass=2, metal=3 ...
+    alpha = sorted(RECYCLING_CLASSES)
+    coco = {
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 8, "height": 8}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "bbox": [1, 1, 4, 4],
+            "category_id": alpha.index("glass") + 1, "area": 16, "iscrowd": 0,
+        }],
+        "categories": [
+            {"id": i + 1, "name": n, "supercategory": "waste"}
+            for i, n in enumerate(alpha)
+        ],
+    }
+    (d / "_annotations.coco.json").write_text(_json.dumps(coco))
+    from PIL import Image as _Image
+
+    _Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    ds = CocoDataset(str(d))
+    assert ds.class_names == list(RECYCLING_CLASSES)
+    # the glass annotation gets the canonical glass label (0), not the
+    # sorted-id label (1)
+    assert ds.records[0].labels[0] == 0
+
+
+def test_prefetcher_exhaustion_raises_not_blocks():
+    p = Prefetcher(iter([1, 2]), depth=1)
+    assert list(p) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        next(p)  # must raise again, not block forever
