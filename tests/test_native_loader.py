@@ -45,7 +45,13 @@ def test_native_box_transform_matches_pil(coco):
 def test_native_corrupt_file(tmp_path):
     bad = tmp_path / "bad.jpg"
     bad.write_text("not an image")
-    images, meta = native_loader.load_letterboxed_batch([str(bad)], 32)
+    # strict (default): raises like the PIL fallback would
+    with pytest.raises(ValueError, match="failed to decode"):
+        native_loader.load_letterboxed_batch([str(bad)], 32)
+    # non-strict: flagged meta + zeroed slot
+    images, meta = native_loader.load_letterboxed_batch(
+        [str(bad)], 32, strict=False
+    )
     assert meta[0, 3] == 0.0
     assert float(np.abs(images).max()) == 0.0
 
