@@ -78,7 +78,14 @@ def apply_classifier(params, tokens, cfg: ClassifierConfig,
                 preferred_element_type=jnp.float32)
         + params["head"]["bias"]
     ).astype(jnp.float32)
-    if cfg.distilled and "head_dist" in params:
+    if cfg.distilled and "head_dist" not in params:
+        raise ValueError(
+            "distilled classifier config but params lack 'head_dist' — "
+            "checkpoint/config mismatch (e.g. converted from a "
+            "non-distilled source); silently evaluating CLS-only would "
+            "change numbers without an error"
+        )
+    if cfg.distilled:
         dist = tokens[:, 1]
         logits_d = (
             jnp.dot(dist, params["head_dist"]["kernel"].astype(dist.dtype),
@@ -236,7 +243,7 @@ def apply_detr_head(
     lacks and which is what makes decoder training converge.
     """
     if embed_dim % cfg.num_heads:
-        raise ValueError("embed_dim must divide detr num_heads")
+        raise ValueError("detr num_heads must divide embed_dim")
     head_dim = embed_dim // cfg.num_heads
     b = memory.shape[0]
     x = jnp.broadcast_to(

@@ -67,7 +67,7 @@ class BackboneConfig:
     @property
     def head_dim(self) -> int:
         if self.embed_dim % self.num_heads:
-            raise ValueError("embed_dim must divide num_heads")
+            raise ValueError("num_heads must divide embed_dim")
         return self.embed_dim // self.num_heads
 
 
@@ -268,6 +268,11 @@ def apply_backbone(
     x = dropout(x, cfg.dropout, pos_key, train=train)
 
     block_params = params["blocks"]
+    _REMAT_POLICIES = ("full", "dots", "names", "all_but_mlp", "mlp_tail")
+    if remat and remat_policy not in _REMAT_POLICIES:
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}; one of {_REMAT_POLICIES}"
+        )
     remat_mlp = remat and remat_policy == "all_but_mlp"
     remat_mlp_tail = remat and remat_policy == "mlp_tail"
 

@@ -79,9 +79,12 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
                             dropout_rate: float = 0.0, dropout_rng=None):
     """Packed self-attention: (B, S, 3D) projection output -> (B, S, D).
 
-    On TPU this dispatches to the transpose-free fused-QKV Pallas kernel
-    (ops/pallas/qkv_attention.py); the reference path materialises the
-    (3, B, H, S, d) transpose and runs `sdpa_reference`.
+    On TPU this dispatches to `flash_self_attention_packed`
+    (ops/pallas/flash_attention.py) — a residual-lean custom VJP that
+    re-derives the transposed q/k/v in backward; the reference path
+    materialises the (3, B, H, S, d) transpose and runs `sdpa_reference`.
+    (ops/pallas/qkv_attention.py holds an unused experimental kernel kept
+    only for tuning — nothing dispatches to it.)
     """
     b, s, three_d = qkv_flat.shape
     d = three_d // 3

@@ -16,10 +16,19 @@ P from Q,K and the saved logsumexp (flash-style, no S×S residual), then
   dS = P ∘ (dO·Vᵀ − Δ),  Δ = rowsum(dO ∘ O)
   dQ = dS·K·scale, dK = dSᵀ·Q·scale, dV = Pᵀ·dO.
 
-Layout notes (pallas_guide.md): head_dim is zero-padded to the 128-lane
-minimum, sequence lengths to a 128 multiple with key-side masking by a
-compiled-in true length; batch is blocked (block_b) to amortise grid steps
-at ViT's small S; mask value is -0.7*f32max, not -inf.
+Layout notes (pallas_guide.md): block shapes equal the (S, d) array dims —
+Mosaic pads VMEM tiles internally, no host-side padding happens. The legacy
+kernels accept a compiled-in `kv_len` for key-side masking of padded
+sequences (currently every caller passes kv_len == S, so the mask branch
+compiles out); the direct-layout kernels (_fwd_kernel_direct /
+_bwd_kernel_direct) take no kv_len and assume exact lengths — a padded-
+sequence caller must use the legacy path. Batch is blocked (block_b) to
+amortise grid steps at ViT's small S; mask value is -0.7*f32max, not -inf.
+
+All in-kernel matmuls pin precision=DEFAULT explicitly: tests set the
+global `jax_default_matmul_precision=highest` (for fp32 oracle numerics on
+CPU), which Mosaic cannot lower for these bf16 dots — the explicit
+argument keeps the kernels immune to the ambient config.
 """
 
 from __future__ import annotations

@@ -270,11 +270,11 @@ def _fused_mlp(x2d, w1, b1, w2, b2):
 
 def _vjp_fwd(x2d, w1, b1, w2, b2):
     out, u = _fwd(x2d, w1, b1, w2, b2)
-    return out, (x2d, u, w1, b1, w2)
+    return out, (x2d, u, w1, b1, b2, w2)
 
 
 def _vjp_bwd(saved, g):
-    x2d, u, w1, b1, w2 = saved
+    x2d, u, w1, b1, b2, w2 = saved
     dx, dw1, db1, dw2 = _bwd(x2d, u, w1, w2, g)
     db2 = jnp.sum(g.astype(jnp.float32), axis=0)
     return (
@@ -282,7 +282,7 @@ def _vjp_bwd(saved, g):
         dw1.astype(w1.dtype),
         db1.reshape(-1).astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(b1.dtype),
+        db2.astype(b2.dtype),
     )
 
 
