@@ -21,7 +21,8 @@ import tempfile
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.data.coco import CocoDataset
@@ -58,8 +59,11 @@ def classifier_demo(steps=300):
 
 
 def detector_demo(steps=200):
+    import shutil
+
     root = make_synthetic_coco(
-        tempfile.mkdtemp(), images_per_split=64, image_size=64, max_boxes=3,
+        tempfile.mkdtemp(), splits=("train",), images_per_split=64,
+        image_size=64, max_boxes=3,
     )
     ds = CocoDataset(root + "/train")
     cfg = TRAIN_PRESETS["smoke"].with_overrides(
@@ -82,6 +86,7 @@ def detector_demo(steps=200):
     last = tr.fit(batches)
     print(f"detector: loss {first_loss:.3f} -> {last['loss']:.3f}",
           file=sys.stderr)
+    shutil.rmtree(root, ignore_errors=True)
     return {"first_loss": first_loss, "final_loss": last["loss"],
             "final_loss_bbox": last.get("loss_bbox"),
             "final_loss_ce": last.get("loss_ce")}

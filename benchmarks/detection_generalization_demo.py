@@ -1,10 +1,13 @@
 """Detection generalization demo: val mAP > 0 (VERDICT round-1 next #4).
 
-Round 1 proved the matcher→loss→head chain can *memorize* (train L1 0.04 on
-a toy set) but committed no artifact with nonzero val mAP. This run trains
-the mid-size `detector_demo_96` on a larger synthetic COCO set
-(class-colored rectangles on noise, 320 train / 80 val images) and
-evaluates the full post-process→NMS→COCO-AP chain on the held-out split.
+Round 1 proved the matcher→loss→head chain can *memorize* but committed no
+artifact with nonzero val mAP. This run trains the mid-size
+`detector_demo_96` on a synthetic COCO set (class-colored non-overlapping
+rectangles on noise; DEMO_TRAIN_IMAGES train / 80 val images, default 4000)
+and evaluates the full post-process→NMS→COCO-AP chain on the held-out
+split. DEMO_AUG=detection enables the reference-parity augmentation
+pipeline — the committed artifact's headline (val mAP 0.64 / AP50 1.0) is
+the 8000-image / 20000-step augmented run.
 Batches are pre-decoded into memory (the 1-core dev host's JPEG decode
 would otherwise starve the chip).
 
@@ -28,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.data.coco import CocoDataset
@@ -60,6 +64,8 @@ def load_split(split_dir: str):
 
 
 def main():
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="arsvt_det_demo_")
     make_synthetic_coco(tmp, splits=("train",), images_per_split=TRAIN_IMAGES,
                         image_size=96, max_boxes=3, seed=0)
@@ -70,11 +76,10 @@ def main():
     print(f"train {tr_images.shape} valid {va_images.shape}",
           file=sys.stderr, flush=True)
 
-    # augment="none": the reference-parity detection pipeline rotates ±45°,
-    # which turns axis-aligned rectangle targets into loose boxes (GIoU
-    # noise up to ~40%) — this demo isolates the matcher→loss→NMS→AP chain's
-    # ability to generalize, not augmentation robustness
-    # w_triplet=0: the reference's triplet loss acts on shared-backbone CLS
+    # DEMO_AUG default "none" isolates the matcher→loss→NMS→AP chain;
+    # "detection" (the headline artifact) adds the reference-parity pipeline
+    # and measured strictly better generalization (0.26 → 0.58 val mAP at
+    # the 4000-image scale). w_triplet=0: the reference's triplet loss acts on shared-backbone CLS
     # features with noisy "dominant class" image labels — useful for the
     # sorter's metric-learning surface, but on this multi-object synthetic
     # set it just perturbs the backbone. grad_clip 0.1 (DETR practice):
@@ -154,6 +159,7 @@ def main():
         json.dump(artifact, f, indent=1)
     print(json.dumps({"val_mAP": result["mAP"], "val_AP50": result["AP50"],
                       "train_mAP": train_result["mAP"], "artifact": out}))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 SHAPES = {

@@ -71,6 +71,9 @@ def main():
     u8_ips, u8_b = results["uint8"]
     print(f"uint8 vs fp32: {u8_ips/f32_ips:.2f}x decode throughput, "
           f"{f32_b/u8_b:.1f}x less host RAM / H2D bytes")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 

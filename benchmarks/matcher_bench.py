@@ -2,7 +2,7 @@
 
 Times the jitted cost-build + Jonker-Volgenant assignment at the reference
 detector's exact shapes (batch 32, Q=5 queries, M=25 padded targets -> 25x25
-square LAP), including the deep-supervision case (7 matchings per step:
+rectangular JV LAP), including the deep-supervision case (7 matchings per step:
 final + 6 aux decoder layers, vmapped). Prints one JSON line.
 """
 
@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.objectives.matcher import MatcherConfig, match

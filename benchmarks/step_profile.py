@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.core.dtypes import DEFAULT_POLICY
@@ -170,7 +171,10 @@ def main():
         "fwd_ms": round(t_a, 1),
         "bwd_plus_remat_ms": round(t_b - t_a, 1),
         "optimizer_ms": round(t_c - t_b, 1),
-        "augmentation_ms": round(t_d - t_c, 1),
+        # D differs from C by augmentation AND donation + 256-canvas H2D,
+        # so this difference is an upper bound that can go slightly
+        # negative when donation savings exceed the augment cost
+        "augmentation_and_step_overhead_ms": round(t_d - t_c, 1),
         "full_step_ms": round(t_d, 1),
         "img_per_s": round(BS / t_d * 1e3, 1),
         "flash_fwd_per_layer_ms": round(t_fa, 2),

@@ -4,7 +4,8 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  __import__("os").path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from arsvt_tpu.train.config import TrainConfig
 from arsvt_tpu.train.train_step import make_classifier_step_fns
@@ -40,6 +41,8 @@ args = p.parse_args()
 pairs = []
 for c in args.configs.split(","):
     parts = c.split(":")
+    if parts[0] not in ("True", "False"):
+        raise SystemExit(f"--configs remat field must be True|False, got {parts[0]!r}")
     pairs.append((parts[0] == "True", int(parts[1]),
                   parts[2] if len(parts) > 2 else "full"))
 for remat, bs, pol in pairs:
