@@ -65,3 +65,37 @@ def test_train_then_eval_cli_classification(coco_root, tmp_path, monkeypatch):
         "--out", str(tmp_path / "res_cls.json"),
     ])
     assert "accuracy" in results and "confusion" in results
+
+
+def test_cli_rejects_unknown_preset():
+    from arsvt_tpu.train import cli
+
+    with pytest.raises(SystemExit, match="unknown --train-preset"):
+        cli.main(["--train-preset", "deit_detector_reff"])
+
+
+def test_cli_rejects_class_count_mismatch(tmp_path):
+    """A 7-category dataset against num_classes=6 must error, not silently
+    zero out the 7th class's CE gradient."""
+    import json as _json
+
+    from PIL import Image
+
+    from arsvt_tpu.train import cli
+
+    for split in ("train", "valid"):
+        d = tmp_path / "seven" / split
+        d.mkdir(parents=True)
+        coco = {
+            "images": [{"id": 1, "file_name": "x.jpg", "width": 8,
+                        "height": 8}],
+            "annotations": [{"id": 1, "image_id": 1, "bbox": [1, 1, 4, 4],
+                             "category_id": 7, "area": 16, "iscrowd": 0}],
+            "categories": [{"id": i + 1, "name": f"c{i}",
+                            "supercategory": "x"} for i in range(7)],
+        }
+        (d / "_annotations.coco.json").write_text(_json.dumps(coco))
+        Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    with pytest.raises(SystemExit, match="7 classes"):
+        cli.main(["--preset", "vit_test_8_32",
+                  "--data-dir", str(tmp_path / "seven"), "--steps", "1"])
