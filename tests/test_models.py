@@ -158,3 +158,27 @@ def test_detr_head_depth1_return_aux_is_none():
     )
     assert "aux" not in out
     assert out["class_logits"].shape[1] == det.head.num_queries
+
+
+def test_evaluate_classifier_normalize_switch():
+    """The standalone eval API must honor the checkpoint's preprocessing
+    contract: normalize_inputs=True routes through eval_preprocess."""
+    import numpy as np
+
+    from arsvt_tpu.evaluation.classify import evaluate_classifier
+    from arsvt_tpu.models.classifier import init_image_classifier
+    from arsvt_tpu.models.registry import get_preset
+
+    cfg = get_preset("vit_test_8_32")
+    params = init_image_classifier(jax.random.PRNGKey(0), cfg, 6)
+    batch = {
+        "image": (np.random.default_rng(0).uniform(size=(4, 32, 32, 3)) * 255)
+        .astype(np.uint8),
+        "label": np.asarray([0, 1, 2, 3], np.int32),
+    }
+    for normalize_inputs in (False, True):
+        res = evaluate_classifier(
+            params, iter([batch]), cfg, 6, compute_dtype=jnp.float32,
+            normalize_inputs=normalize_inputs,
+        )
+        assert res["n"] == 4 and 0.0 <= res["top1"] <= 1.0
