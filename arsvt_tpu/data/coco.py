@@ -11,8 +11,10 @@ its eval copy evaluation.py:241-357) with the same data contract:
   * validates boxes exactly like train.py:113-137: converts COCO [x,y,w,h]
     pixels → normalized x1y1x2y2, clips to [0,1], drops degenerate boxes
     (w/h <= 1px or inverted after clipping);
-  * classification view: dominant-class image label (largest total box area,
-    the reference's triplet-label rule, train.py:1122-1150 semantics).
+  * classification view: dominant-class image label = the MOST FREQUENT
+    class among the image's boxes (the reference's triplet-label rule,
+    train.py:1038-1043: np.unique(..., return_counts=True) →
+    unique_labels[argmax(counts)]; ties resolve to the lowest label id).
 
 Ragged targets become *padded* fixed-shape arrays + validity masks
 (SURVEY.md §7 "ragged targets in a static-shape world") so downstream
@@ -42,12 +44,12 @@ class ImageRecord:
 
     @property
     def dominant_label(self) -> int:
-        """Largest-total-area class; -1 for background-only images."""
+        """Most-frequent class (count-based, train.py:1038-1043; ties →
+        lowest label id); -1 for background-only images."""
         if len(self.labels) == 0:
             return -1
-        sums = np.zeros(int(self.labels.max()) + 1, np.float64)
-        np.add.at(sums, self.labels, self.areas)
-        return int(np.argmax(sums))
+        uniq, counts = np.unique(self.labels, return_counts=True)
+        return int(uniq[np.argmax(counts)])
 
 
 class CocoDataset:
@@ -58,19 +60,24 @@ class CocoDataset:
         with open(os.path.join(split_dir, annotations_file)) as f:
             coco = json.load(f)
 
-        # contiguous label maps. When every category name belongs to the
+        # contiguous label maps. When the category names are exactly the
         # canonical recycling taxonomy, labels follow the TAXONOMY order
         # (data/taxonomy.py: "mapped onto it by name") so class indices mean
         # the same thing across datasets and match the RECYCLING_CLASSES
         # names that evaluation/streaming display — a sorted-id mapping
         # (the reference's rule, train.py:29-35) silently mislabels every
         # prediction for exports whose id order differs (e.g. alphabetical
-        # Roboflow exports). Unknown names fall back to sorted-id order.
+        # Roboflow exports). The remap requires the FULL taxonomy (set
+        # equality, not subset): labels are compacted to 0..n-1, so for a
+        # strict subset a reordered compaction would NOT equal canonical
+        # taxonomy indices, and train/val splits listing different subsets
+        # would get mutually inconsistent maps. Subsets and unknown names
+        # fall back to sorted-id order (reference behavior).
         from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
 
         cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
         names = [c["name"].lower() for c in cats]
-        if cats and set(names) <= set(RECYCLING_CLASSES) and (
+        if cats and set(names) == set(RECYCLING_CLASSES) and (
                 len(set(names)) == len(names)):
             order = {n: i for i, n in enumerate(RECYCLING_CLASSES)}
             cats = sorted(cats, key=lambda c: order[c["name"].lower()])

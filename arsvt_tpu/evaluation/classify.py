@@ -105,6 +105,7 @@ class StreamingClassifier:
         self._cfg = backbone_cfg
         self._n = num_classes
         self._preprocess = preprocess
+        self._normalize_inputs = normalize_inputs
         self._latencies: list[float] = []
 
         @jax.jit
@@ -135,6 +136,21 @@ class StreamingClassifier:
         t0 = time.perf_counter()
         if self._preprocess is not None:
             image = self._preprocess(image)
+        if self._normalize_inputs:
+            # fail loudly on already-ImageNet-normalized float inputs (the
+            # pre-round-2 contract): double normalization silently produces
+            # wrong probabilities (advisor round-2 finding). [0,1] floats
+            # and uint8 are the supported inputs.
+            arr = np.asarray(image)
+            if np.issubdtype(arr.dtype, np.floating) and (
+                    arr.min() < -0.25 or arr.max() > 1.25):
+                raise ValueError(
+                    "StreamingClassifier(normalize_inputs=True) expects "
+                    "uint8 or [0,1]-float images and normalizes inside the "
+                    f"forward; got float range [{arr.min():.2f}, "
+                    f"{arr.max():.2f}] — input looks already normalized. "
+                    "Pass normalize_inputs=False or feed raw images."
+                )
         idx, probs = self._infer(self._params, jnp.asarray(image))
         idx = int(idx)
         probs = np.asarray(probs)

@@ -210,8 +210,13 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
     COCO AP is defined over the full score-ranked PR curve, so the AP
     accumulation uses `ap_conf_threshold` (low floor, 0.05) — filtering at
     the user-facing `conf_threshold` first would truncate recall and
-    systematically understate mAP. The count statistics (the reference's
-    metric surface) still use `conf_threshold`.
+    systematically understate mAP. Post-processing runs ONCE per batch at
+    the low floor; the count statistics (the reference's metric surface,
+    evaluation.py:593-615) are derived by re-filtering those survivors at
+    `conf_threshold` (advisor round-2: the floor's NMS survivors are a
+    superset for counting purposes — a box can only gain suppressors at the
+    lower floor, so high-threshold counts are conservative-identical in
+    practice and the device post-process cost is halved).
     """
     predictions, ap_predictions, ground_truths = [], [], []
     total_loss, n_batches = 0.0, 0
@@ -224,24 +229,19 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
                 continue
             parts_sum[k] = parts_sum.get(k, 0.0) + float(v)
         out = m["outputs"]
-        post = post_process(
-            out["class_logits"], out["boxes_cxcywh"],
-            conf_threshold=conf_threshold, nms_threshold=nms_threshold,
-        )
-        post = {k: np.asarray(v) for k, v in post.items()}
         ap_post = post_process(
             out["class_logits"], out["boxes_cxcywh"],
             conf_threshold=ap_conf_threshold, nms_threshold=nms_threshold,
         )
         ap_post = {k: np.asarray(v) for k, v in ap_post.items()}
-        for i in range(post["boxes"].shape[0]):
-            sel = post["valid"][i]
-            predictions.append({
-                "boxes": post["boxes"][i][sel],
-                "scores": post["scores"][i][sel],
-                "labels": post["labels"][i][sel],
-            })
+        for i in range(ap_post["boxes"].shape[0]):
             ap_sel = ap_post["valid"][i]
+            sel = ap_sel & (ap_post["scores"][i] >= conf_threshold)
+            predictions.append({
+                "boxes": ap_post["boxes"][i][sel],
+                "scores": ap_post["scores"][i][sel],
+                "labels": ap_post["labels"][i][sel],
+            })
             ap_predictions.append({
                 "boxes": ap_post["boxes"][i][ap_sel],
                 "scores": ap_post["scores"][i][ap_sel],

@@ -116,9 +116,7 @@ def detection_loss(outputs, targets, cfg: DetectionLossConfig,
 
     # --- triplet on image-level features ------------------------------
     if triplet_features is not None:
-        image_labels, image_valid = dominant_labels(
-            tgt_labels, tgt_mask, tgt_boxes, c
-        )
+        image_labels, image_valid = dominant_labels(tgt_labels, tgt_mask, c)
         loss_triplet = batch_hard_triplet_loss(
             triplet_features, image_labels, image_valid,
             margin=cfg.triplet_margin,
@@ -130,21 +128,21 @@ def detection_loss(outputs, targets, cfg: DetectionLossConfig,
     return total, parts
 
 
-def dominant_labels(tgt_labels, tgt_mask, tgt_boxes_xyxy, num_classes):
-    """Largest-total-area class per image (train.py:1122-1150 semantics).
+def dominant_labels(tgt_labels, tgt_mask, num_classes):
+    """Most-frequent class per image — the reference's count-based rule
+    (train.py:1038-1043: `np.unique(labels, return_counts=True)` then
+    `unique_labels[np.argmax(counts)]`). Ties resolve to the LOWEST label
+    id, exactly as argmax over np.unique's ascending-sorted uniques does.
 
     Returns (labels (B,), valid (B,) bool) — invalid where an image has no
     real boxes.
     """
-    wh = jnp.clip(
-        tgt_boxes_xyxy[..., 2:] - tgt_boxes_xyxy[..., :2], 0.0, None
-    )
-    areas = wh[..., 0] * wh[..., 1] * tgt_mask  # (B, M)
-    b = tgt_labels.shape[0]
-    sums = jnp.zeros((b, num_classes), jnp.float32)
-    sums = jax.vmap(
-        lambda s, lab, ar: s.at[jnp.clip(lab, 0, num_classes - 1)].add(ar)
-    )(sums, tgt_labels, areas)
-    return jnp.argmax(sums, axis=-1).astype(jnp.int32), jnp.any(
+    onehot = jax.nn.one_hot(
+        jnp.clip(tgt_labels, 0, num_classes - 1), num_classes,
+        dtype=jnp.float32,
+    )  # (B, M, C)
+    counts = jnp.sum(onehot * tgt_mask[..., None], axis=1)  # (B, C)
+    # jnp.argmax picks the first maximum -> lowest label id on ties
+    return jnp.argmax(counts, axis=-1).astype(jnp.int32), jnp.any(
         tgt_mask, axis=1
     )

@@ -396,6 +396,34 @@ def test_taxonomy_name_mapping_overrides_id_order(tmp_path):
     assert ds.records[0].labels[0] == 0
 
 
+def test_taxonomy_subset_keeps_sorted_id_order(tmp_path):
+    """A dataset listing only a SUBSET of the taxonomy must NOT be
+    reordered: compacted 0..n-1 labels would not equal canonical taxonomy
+    indices, and different splits listing different subsets would get
+    mutually inconsistent maps (advisor round-2 medium). Subsets keep the
+    reference's sorted-id rule."""
+    import json as _json
+
+    d = tmp_path / "subset" / "train"
+    d.mkdir(parents=True)
+    coco = {
+        "images": [{"id": 1, "file_name": "x.jpg", "width": 8, "height": 8}],
+        "annotations": [],
+        "categories": [
+            {"id": 1, "name": "plastic", "supercategory": "waste"},
+            {"id": 2, "name": "glass", "supercategory": "waste"},
+        ],
+    }
+    (d / "_annotations.coco.json").write_text(_json.dumps(coco))
+    from PIL import Image as _Image
+
+    _Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    ds = CocoDataset(str(d))
+    # sorted-id order, NOT taxonomy order (glass before plastic)
+    assert ds.class_names == ["plastic", "glass"]
+    assert ds.category_id_to_label == {1: 0, 2: 1}
+
+
 def test_prefetcher_exhaustion_raises_not_blocks():
     p = Prefetcher(iter([1, 2]), depth=1)
     assert list(p) == [1, 2]

@@ -251,18 +251,42 @@ def test_perfect_prediction_low_loss():
     assert float(parts["loss_ce"]) < 1e-4
 
 
-def test_dominant_labels():
+def test_dominant_labels_count_based_reference_parity():
+    """Hand-computed against the reference's rule (train.py:1038-1043):
+    dominant label = most frequent class; ties -> lowest label id (np.unique
+    sorts uniques ascending, np.argmax picks the first maximum)."""
+    import numpy as _np
+
     labels = jnp.array([[0, 3, 3], [1, 2, 0]], jnp.int32)
-    boxes = jnp.array([
-        [[0, 0, 0.9, 0.9], [0, 0, 0.1, 0.1], [0.5, 0.5, 0.6, 0.6]],
-        [[0, 0, 0.2, 0.2], [0, 0, 0.5, 0.5], [0, 0, 0.1, 0.1]],
-    ], jnp.float32)
     mask = jnp.array([[True, True, True], [True, True, False]])
-    lab, valid = dominant_labels(labels, mask, boxes, 6)
-    assert lab.tolist() == [0, 2]
+    lab, valid = dominant_labels(labels, mask, 6)
+    # image 0: counts {0:1, 3:2} -> 3; image 1 (third box masked out):
+    # counts {1:1, 2:1} -> tie -> lowest label 1
+    assert lab.tolist() == [3, 1]
     assert valid.tolist() == [True, True]
-    lab2, valid2 = dominant_labels(labels, jnp.zeros_like(mask), boxes, 6)
+    # pin against the reference expression verbatim
+    for row, m, got in zip(labels.tolist(), mask.tolist(), lab.tolist()):
+        real = _np.asarray([l for l, keep in zip(row, m) if keep])
+        uniq, counts = _np.unique(real, return_counts=True)
+        assert got == int(uniq[_np.argmax(counts)])
+    lab2, valid2 = dominant_labels(labels, jnp.zeros_like(mask), 6)
     assert valid2.tolist() == [False, False]
+
+
+def test_coco_record_dominant_label_count_based():
+    from arsvt_tpu.data.coco import ImageRecord
+    import numpy as _np
+
+    rec = ImageRecord(
+        path="", width=10, height=10,
+        boxes=_np.zeros((4, 4), _np.float32),
+        labels=_np.array([5, 2, 2, 5], _np.int32),
+        areas=_np.array([0.9, 0.01, 0.01, 0.01], _np.float32),
+        iscrowd=_np.zeros(4, _np.int32), image_id=0,
+    )
+    # counts {2:2, 5:2} tie -> lowest label 2, even though label 5 has
+    # far more total area (the old area-based rule would pick 5)
+    assert rec.dominant_label == 2
 
 
 # ----------------------------------------------------------------- triplet

@@ -1,8 +1,10 @@
-"""Pallas kernel vs jnp-reference numerics — real TPU only (marked `tpu`).
+"""Pallas kernel vs jnp-reference numerics — runs on any TPU host.
 
 SURVEY.md §4 "Numerics": every kernel has a pure-jnp oracle; these compare
-fwd and grads at bf16 tolerance on the actual hardware. On CPU hosts they
-skip (interpret mode is too slow to be useful).
+fwd and grads at bf16 tolerance on the actual hardware. On CPU-only hosts
+they skip (interpret mode is too slow to be useful); wherever a TPU backend
+exists they are part of the default suite (the persistent compile cache
+makes warm reruns cheap).
 """
 
 import os
@@ -12,13 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Kernel parity is UN-SKIPPABLE wherever a TPU backend exists (VERDICT
+# round-2 #7: a kernel regression must not reach bench.py undetected). The
+# `tpu` marker makes conftest skip these only on CPU-only hosts;
+# ARSVT_SKIP_TPU_KERNEL_TESTS=1 is an explicit escape hatch for debugging.
 pytestmark = [
     pytest.mark.tpu,
     pytest.mark.skipif(
-        not os.environ.get("ARSVT_RUN_TPU_TESTS"),
-        reason="kernel compiles are slow through the remote-compile tunnel; "
-               "set ARSVT_RUN_TPU_TESTS=1 to run (kernels are also verified "
-               "by scripts in benchmarks/)",
+        bool(os.environ.get("ARSVT_SKIP_TPU_KERNEL_TESTS")),
+        reason="explicitly skipped via ARSVT_SKIP_TPU_KERNEL_TESTS",
     ),
 ]
 
