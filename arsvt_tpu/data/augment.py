@@ -212,34 +212,79 @@ def _affine_matrix(key, h, w, *, degrees, scale, translate, shear):
     return center @ trans @ rot @ shear_m @ scale_m @ uncenter
 
 
-def _bilinear_warp(image, inv_matrix):
-    """Sample image at inv_matrix @ output coords; zeros outside."""
-    h, w, c = image.shape
+def _src_coords(image, inv_matrix):
+    h, w, _ = image.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ones = jnp.ones_like(xx)
     coords = jnp.stack([xx, yy, ones], axis=0).reshape(3, -1)
     src = inv_matrix @ coords
-    sx, sy = src[0], src[1]
+    return src[0], src[1]
+
+
+def _gather_px(image, yi, xi):
+    h, w, _ = image.shape
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    vals = image[yi_c, xi_c]  # (HW, C)
+    return jnp.where(valid[:, None], vals, 0.0)
+
+
+def _bilinear_warp(image, inv_matrix):
+    """Sample image at inv_matrix @ output coords; zeros outside."""
+    h, w, c = image.shape
+    sx, sy = _src_coords(image, inv_matrix)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx = (sx - x0)[:, None]
     wy = (sy - y0)[:, None]
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = image[yi_c, xi_c]  # (HW, C)
-        return jnp.where(valid[:, None], vals, 0.0)
-
     out = (
-        gather(y0, x0) * (1 - wy) * (1 - wx)
-        + gather(y0, x0 + 1) * (1 - wy) * wx
-        + gather(y0 + 1, x0) * wy * (1 - wx)
-        + gather(y0 + 1, x0 + 1) * wy * wx
+        _gather_px(image, y0, x0) * (1 - wy) * (1 - wx)
+        + _gather_px(image, y0, x0 + 1) * (1 - wy) * wx
+        + _gather_px(image, y0 + 1, x0) * wy * (1 - wx)
+        + _gather_px(image, y0 + 1, x0 + 1) * wy * wx
     )
     return out.reshape(h, w, c)
+
+
+def _lanczos4_weights(frac):
+    """8 Lanczos-4 tap weights at offsets -3..4 from floor(src), normalized
+    to sum 1 (matching OpenCV's interpolation tables). frac: (N,) in [0,1)."""
+    ws = []
+    for i in range(8):
+        t = jnp.abs(frac - (i - 3.0))
+        pt = jnp.pi * jnp.maximum(t, 1e-8)
+        val = 4.0 * jnp.sin(pt) * jnp.sin(pt / 4.0) / (pt * pt)
+        ws.append(jnp.where(t < 1e-6, 1.0, jnp.where(t < 4.0, val, 0.0)))
+    total = sum(ws)
+    return [wi / total for wi in ws]
+
+
+def _lanczos4_warp(image, inv_matrix):
+    """8×8-tap Lanczos-4 resample at inv_matrix @ output coords — the
+    reference's Affine interpolation (cv2.INTER_LANCZOS4,
+    /root/reference/train.py:417). Out-of-bounds taps read the constant
+    border 0 (cv2.BORDER_CONSTANT) and weights are NOT renormalized at the
+    border, matching OpenCV. Separable accumulation: 8 row passes × 8
+    column taps = 64 gathers per image."""
+    h, w, c = image.shape
+    sx, sy = _src_coords(image, inv_matrix)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wxs = _lanczos4_weights(sx - x0)
+    wys = _lanczos4_weights(sy - y0)
+    out = jnp.zeros((h * w, c), jnp.float32)
+    for j in range(8):
+        row = jnp.zeros((h * w, c), jnp.float32)
+        for i in range(8):
+            row += _gather_px(image, y0 + (j - 3), x0 + (i - 3)) * wxs[i][:, None]
+        out += row * wys[j][:, None]
+    # Lanczos overshoots at sharp edges; clamp like uint8 saturation does
+    return jnp.clip(out, 0.0, 1.0).reshape(h, w, c)
+
+
+_WARPS = {"bilinear": _bilinear_warp, "lanczos4": _lanczos4_warp}
 
 
 def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px):
@@ -276,13 +321,18 @@ def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px):
 
 def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
                   scale=(0.95, 1.05), translate=0.05, shear=15.0,
-                  min_visibility=0.1, min_area_px=1.0):
-    """Affine with bbox tracking (train.py:404-431 semantics)."""
+                  min_visibility=0.1, min_area_px=1.0,
+                  interpolation: str = "lanczos4"):
+    """Affine with bbox tracking (train.py:404-431 semantics).
+
+    interpolation: "lanczos4" (default — the reference resamples with
+    cv2.INTER_LANCZOS4, train.py:417) or "bilinear" (4 gathers instead of
+    64; visually close, kept for speed-sensitive callers)."""
     h, w, _ = image.shape
     fwd = _affine_matrix(key, h, w, degrees=degrees, scale=scale,
                          translate=translate, shear=shear)
     inv = jnp.linalg.inv(fwd)
-    out = _bilinear_warp(image, inv)
+    out = _WARPS[interpolation](image, inv)
     if boxes is None:
         return out
     new_boxes, new_mask = _transform_boxes(
@@ -355,6 +405,8 @@ class DetectionAugmentConfig:
     # BboxParams (train.py:446)
     min_visibility: float = 0.1
     min_area_px: float = 1.0
+    # Affine resample: LANCZOS4 like the reference (train.py:417)
+    interpolation: str = "lanczos4"
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -371,6 +423,7 @@ def detection_train_augment(key, image, boxes, mask,
         k3, image, boxes, mask, degrees=cfg.degrees, scale=cfg.scale,
         translate=cfg.translate, shear=cfg.shear,
         min_visibility=cfg.min_visibility, min_area_px=cfg.min_area_px,
+        interpolation=cfg.interpolation,
     )
     image = color_jitter(
         k4, image, p=cfg.jitter_p, brightness=cfg.jitter_brightness,

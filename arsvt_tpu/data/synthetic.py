@@ -55,6 +55,68 @@ def synthetic_classification_batches(
         }
 
 
+def _shape_mask(label: int, size: int, rng) -> np.ndarray:
+    """Boolean mask of one randomly-placed/rotated/sized shape. The class
+    signal is GEOMETRY/TEXTURE only — colors are sampled identically for
+    every class (see synthetic_shape_image), so a color histogram or linear
+    probe on mean color carries zero class information."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r = rng.uniform(0.22, 0.38) * size
+    cy = rng.uniform(r, size - r)
+    cx = rng.uniform(r, size - r)
+    theta = rng.uniform(0, 2 * np.pi)
+    u = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+    v = -(xx - cx) * np.sin(theta) + (yy - cy) * np.cos(theta)
+    dist = np.hypot(u, v)
+    if label == 0:    # glass: filled disk
+        return dist < r
+    if label == 1:    # paper: thin rectangle
+        return (np.abs(u) < r) & (np.abs(v) < 0.4 * r)
+    if label == 2:    # cardboard: triangle
+        return (v > -0.5 * r) & (np.abs(u) < (r - v) * 0.55)
+    if label == 3:    # plastic: ring (annulus)
+        return (dist < r) & (dist > 0.55 * r)
+    if label == 4:    # metal: plus / cross
+        return ((np.abs(u) < 0.32 * r) & (np.abs(v) < r)) | (
+            (np.abs(v) < 0.32 * r) & (np.abs(u) < r))
+    # trash: striped disk — same silhouette as class 0, texture differs
+    stripes = np.sin(u * (2 * np.pi / (0.28 * r))) > 0
+    return (dist < r) & stripes
+
+
+def synthetic_shape_image(label: int, size: int, rng,
+                          noise: float = 0.05) -> np.ndarray:
+    """One fp32 [0,1] HWC image whose ONLY class signal is shape/texture."""
+    for _ in range(20):
+        fg = rng.uniform(0.1, 0.95, 3).astype(np.float32)
+        bg = rng.uniform(0.1, 0.95, 3).astype(np.float32)
+        if np.abs(fg - bg).sum() > 0.6:  # keep the shape visible
+            break
+    img = np.broadcast_to(bg, (size, size, 3)).copy()
+    mask = _shape_mask(label, size, rng)
+    img[mask] = fg
+    img += noise * rng.standard_normal(img.shape).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def synthetic_shape_batches(*, batch_size: int, image_size: int,
+                            seed: int = 0, num_classes: int = NUM_CLASSES):
+    """Infinite non-color-separable 6-class batches — the held-out surface
+    for the classification-generalization artifact (fresh draws from a
+    disjoint seed are the val split)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        labels = rng.integers(0, num_classes, size=(batch_size,))
+        imgs = np.stack([
+            synthetic_shape_image(int(lab), image_size, rng)
+            for lab in labels
+        ])
+        yield {
+            "image": imgs.astype(np.float32),
+            "label": labels.astype(np.int32),
+        }
+
+
 def make_synthetic_coco(
     root: str, *, splits=("train", "valid", "test"), images_per_split: int = 8,
     image_size: int = 64, max_boxes: int = 3, seed: int = 0,

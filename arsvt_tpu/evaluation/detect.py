@@ -201,6 +201,43 @@ def _iou_one_to_many(box, boxes):
     return inter / np.maximum(area_a + area_b - inter, 1e-9)
 
 
+def collect_batch_detections(outputs, batch, *, conf_threshold: float,
+                             nms_threshold: float,
+                             ap_conf_threshold: float = 0.05):
+    """Post-process one batch ONCE at the AP floor and split the survivors
+    into (user-threshold predictions, AP-floor predictions, ground truths)
+    — the shared collection step of evaluate_detector and the trainer's
+    in-training val-mAP cadence."""
+    predictions, ap_predictions, ground_truths = [], [], []
+    ap_post = post_process(
+        outputs["class_logits"], outputs["boxes_cxcywh"],
+        conf_threshold=ap_conf_threshold, nms_threshold=nms_threshold,
+    )
+    ap_post = {k: np.asarray(v) for k, v in ap_post.items()}
+    for i in range(ap_post["boxes"].shape[0]):
+        ap_sel = ap_post["valid"][i]
+        sel = ap_sel & (ap_post["scores"][i] >= conf_threshold)
+        predictions.append({
+            "boxes": ap_post["boxes"][i][sel],
+            "scores": ap_post["scores"][i][sel],
+            "labels": ap_post["labels"][i][sel],
+        })
+        ap_predictions.append({
+            "boxes": ap_post["boxes"][i][ap_sel],
+            "scores": ap_post["scores"][i][ap_sel],
+            "labels": ap_post["labels"][i][ap_sel],
+        })
+        gmask = np.asarray(batch["mask"][i])
+        g = {
+            "boxes": np.asarray(batch["boxes"][i])[gmask],
+            "labels": np.asarray(batch["labels"][i])[gmask],
+        }
+        if "iscrowd" in batch:  # COCO ignore regions, see data contract
+            g["iscrowd"] = np.asarray(batch["iscrowd"][i])[gmask]
+        ground_truths.append(g)
+    return predictions, ap_predictions, ground_truths
+
+
 def evaluate_detector(eval_step, params, batches, *, num_classes: int,
                       conf_threshold: float = 0.5,
                       nms_threshold: float = 0.5,
@@ -228,33 +265,14 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
             if k in ("outputs", "loss"):
                 continue
             parts_sum[k] = parts_sum.get(k, 0.0) + float(v)
-        out = m["outputs"]
-        ap_post = post_process(
-            out["class_logits"], out["boxes_cxcywh"],
-            conf_threshold=ap_conf_threshold, nms_threshold=nms_threshold,
+        p, ap_p, g = collect_batch_detections(
+            m["outputs"], batch, conf_threshold=conf_threshold,
+            nms_threshold=nms_threshold,
+            ap_conf_threshold=ap_conf_threshold,
         )
-        ap_post = {k: np.asarray(v) for k, v in ap_post.items()}
-        for i in range(ap_post["boxes"].shape[0]):
-            ap_sel = ap_post["valid"][i]
-            sel = ap_sel & (ap_post["scores"][i] >= conf_threshold)
-            predictions.append({
-                "boxes": ap_post["boxes"][i][sel],
-                "scores": ap_post["scores"][i][sel],
-                "labels": ap_post["labels"][i][sel],
-            })
-            ap_predictions.append({
-                "boxes": ap_post["boxes"][i][ap_sel],
-                "scores": ap_post["scores"][i][ap_sel],
-                "labels": ap_post["labels"][i][ap_sel],
-            })
-            gmask = np.asarray(batch["mask"][i])
-            g = {
-                "boxes": np.asarray(batch["boxes"][i])[gmask],
-                "labels": np.asarray(batch["labels"][i])[gmask],
-            }
-            if "iscrowd" in batch:  # COCO ignore regions, see data contract
-                g["iscrowd"] = np.asarray(batch["iscrowd"][i])[gmask]
-            ground_truths.append(g)
+        predictions.extend(p)
+        ap_predictions.extend(ap_p)
+        ground_truths.extend(g)
         n_batches += 1
     ap = average_precision(
         ap_predictions, ground_truths, num_classes=num_classes

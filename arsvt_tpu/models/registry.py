@@ -37,6 +37,13 @@ PRESETS: dict[str, BackboneConfig] = {
         image_size=224, patch_size=16, embed_dim=400, depth=12,
         num_heads=25, mlp_dim=1600, dropout=0.1, distilled=True,
     ),
+    # mid-size demo backbone for the classification-generalization artifact
+    # (benchmarks/classification_generalization_demo.py): big enough to
+    # learn shape/texture classes, small enough to train in minutes
+    "vit_demo_8_96": BackboneConfig(
+        image_size=96, patch_size=8, embed_dim=192, depth=6,
+        num_heads=3, mlp_dim=768,
+    ),
     # tiny configs for tests
     "vit_test_8_32": BackboneConfig(
         image_size=32, patch_size=8, embed_dim=32, depth=2,

@@ -15,9 +15,10 @@ TPU-first design decisions vs. the reference:
   * pre-LN blocks exactly like the reference (train.py:584-592):
     ``x += attn(LN1(x)); x += mlp(LN2(x))`` with a final LN.
   * attention is the dispatching `multi_head_attention` (Pallas flash on
-    TPU). Dropout is applied to the pos-embed, attention output and MLP
-    output (not to attention probabilities — keeps the flash kernel exact;
-    rates default to the reference's 0.1, train.py:1352).
+    TPU). Dropout applies to the pos-embed, attention output, MLP output
+    AND — via `attn_dropout` — to the attention probabilities, in-kernel
+    (stateless TPU-PRNG mask replayed in backward; rates default to the
+    reference's 0.1, train.py:1352).
 """
 
 from __future__ import annotations
@@ -46,9 +47,9 @@ class BackboneConfig:
     mlp_dim: int = 768
     dropout: float = 0.0
     # dropout on the attention softmax probabilities (train.py:528,545).
-    # Nonzero routes attention to the jnp reference path during training —
-    # the flash kernel never materialises probs — so reference-config
-    # regularisation (dropout=0.1, train.py:1352) is trainable faithfully.
+    # Runs IN-KERNEL on TPU: the flash kernels sample a stateless mask from
+    # the hardware PRNG and replay it in backward, so reference-config
+    # regularisation (rate 0.1, train.py:1352) trains on the kernel path.
     attn_dropout: float = 0.0
     distilled: bool = False  # DeiT: CLS + DIST tokens (train.py:646-648)
 
@@ -160,11 +161,11 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
 
     y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
     attn_dropping = train and cfg.attn_dropout > 0.0 and kp is not None
-    if (not force_reference and not attn_dropping
-            and use_fused_encoder_attention(h, hd)):
+    if not force_reference and use_fused_encoder_attention(h, hd):
         # one custom VJP over qkv-proj → attention → out-proj: the Pallas
         # kernels read/write per-head column blocks of the (B,S,3D)/(B,S,D)
-        # layouts directly — no (B,H,S,d) transposes in either direction
+        # layouts directly — no (B,H,S,d) transposes in either direction.
+        # attn_dropout rides the kernel too (stateless in-kernel mask).
         from arsvt_tpu.ops.pallas.flash_attention import (
             fused_encoder_attention,
         )
@@ -176,6 +177,8 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
             bp["attn"]["proj"]["kernel"].astype(y.dtype),
             bp["attn"]["proj"]["bias"].astype(y.dtype),
             h,
+            dropout_rate=cfg.attn_dropout if attn_dropping else 0.0,
+            dropout_rng=kp,
         )
     else:
         # linears emit the storage dtype directly (MXU still accumulates

@@ -58,12 +58,15 @@ def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False,
                          dropout_rate: float = 0.0, dropout_rng=None):
     """Dispatching SDPA: Pallas flash attention on TPU, jnp reference elsewhere.
 
-    Nonzero attention-probability dropout routes to the jnp reference path
-    (the flash kernel never materialises probabilities, so prob dropout is
-    incompatible with it by construction — keeps the kernel exact).
+    Attention-probability dropout stays ON the kernel path: the flash
+    kernels sample the mask statelessly from the TPU PRNG inside the kernel
+    and replay it in backward (ops/pallas/flash_attention.py) — the faithful
+    reference regularisation (train.py:545, rate 0.1) no longer forfeits the
+    kernels. The jnp path's threefry mask differs bit-wise (same
+    distribution). Arbitrary `mask` still routes to the reference impl.
     """
     dropping = dropout_rate > 0.0 and dropout_rng is not None
-    if dropping or force_reference or not use_pallas():
+    if force_reference or not use_pallas() or (dropping and mask is not None):
         return sdpa_reference(
             q, k, v, mask=mask,
             dropout_rate=dropout_rate if dropping else 0.0,
@@ -71,7 +74,11 @@ def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False,
         )
     from arsvt_tpu.ops.pallas.flash_attention import flash_attention
 
-    return flash_attention(q, k, v, mask=mask)
+    return flash_attention(
+        q, k, v, mask=mask,
+        dropout_rate=dropout_rate if dropping else 0.0,
+        dropout_rng=dropout_rng,
+    )
 
 
 def self_attention_from_qkv(qkv_flat, num_heads: int,
@@ -90,16 +97,21 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     d = three_d // 3
     head_dim = d // num_heads
     dropping = dropout_rate > 0.0 and dropout_rng is not None
-    if not (dropping or force_reference or not use_pallas()):
+    if not (force_reference or not use_pallas()):
         # Residual-lean fused path: saves (qkv_flat, out, lse) only — the
         # transpose+flash composition below would additionally store the
         # (3,B,H,S,hd) transposed views as residuals (~2.8 GB at ViT-B
-        # bs256). The backward re-derives them from qkv_flat.
+        # bs256). The backward re-derives them from qkv_flat. Dropout stays
+        # in-kernel (stateless TPU PRNG mask, replayed in backward).
         from arsvt_tpu.ops.pallas.flash_attention import (
             flash_self_attention_packed,
         )
 
-        return flash_self_attention_packed(qkv_flat, num_heads)
+        return flash_self_attention_packed(
+            qkv_flat, num_heads,
+            dropout_rate=dropout_rate if dropping else 0.0,
+            dropout_rng=dropout_rng,
+        )
     qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
     qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, S, hd)
     # NOTE: the fully-packed-layout kernel (ops/pallas/qkv_attention.py,

@@ -37,16 +37,64 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+# ------------------------------------------------------- stateless dropout
+#
+# Attention-probability dropout INSIDE the kernels (the reference applies
+# dropout to the softmax probabilities of every attention and trains its
+# detector with rate 0.1 — /root/reference/train.py:528,545,1352). The
+# flash kernels never materialise probabilities, so the mask is generated
+# statelessly from the TPU PRNG: seeded per (grid cell, unrolled item
+# [, head-in-group]) with a unique mixed index, the backward kernel replays
+# the exact same seeding sequence and regenerates the identical mask — no
+# (B,H,Sq,Sk) mask tensor ever exists in HBM. Mosaic's prng_seed accepts at
+# most TWO int32s, so the grid/item indices are folded into one.
+#
+# Math (keep = 1 - rate, M = Bernoulli(keep)):
+#   forward:  out = ((M ∘ P)/keep) @ V  with P = softmax(S); lse saved
+#             PRE-dropout (the mask does not change the normalizer).
+#   backward: dV = ((M ∘ P)/keep)ᵀ dO
+#             dP = (M ∘ (dO Vᵀ))/keep
+#             dS = P ∘ (dP − Δ),  Δ = rowsum(dO ∘ O)
+#             (rowsum(dP ∘ P) = rowsum(dO ∘ ((M∘P/keep)@V)) = Δ because
+#             (M∘P/keep)@V is exactly O — the no-dropout flash identity
+#             still holds with the dropped-out O.)
+
+
+def _dropout_threshold(rate: float) -> int:
+    # keep iff bits < threshold, bits ~ U[0, 2^32)
+    return min(int((1.0 - rate) * 2**32), 2**32 - 1)
+
+
+def _keep_mask(shape, rate: float):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits < jnp.uint32(_dropout_threshold(rate))
+
+
+def seed_from_rng(rng) -> jax.Array:
+    """Derive the (1,) int32 SMEM seed the kernels consume from a JAX PRNG
+    key — one draw per step/layer; in-kernel mixing makes per-cell streams."""
+    bits = jax.random.bits(rng, (1,), jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
+_FLOAT0_SEED_COT = np.zeros((1,), dtype=jax.dtypes.float0)
+
+
 # ------------------------------------------------------------------ forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
+def _fwd_kernel(*refs, scale, kv_len, dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     bb = q_ref.shape[0]
     for i in range(bb):  # unrolled over the batch block
         q = q_ref[i, 0]  # (Sq, d)
@@ -62,8 +110,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            # unique stream per (grid cell, item); bwd replays identically
+            mixed = (pl.program_id(0) * pl.num_programs(1)
+                     + pl.program_id(1)) * bb + i
+            pltpu.prng_seed(seed_ref[0], mixed)
+            keep = _keep_mask(p.shape, dropout_rate)
+            p_use = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            p_use = p
         o = jax.lax.dot(
-            p.astype(v_ref.dtype), v_ref[i, 0],
+            p_use.astype(v_ref.dtype), v_ref[i, 0],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
@@ -73,7 +130,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len):
         lse_ref[i, 0] = (m + jnp.log(l))[:, 0][None, :]
 
 
-def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False):
+def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False,
+         dropout_rate=0.0, seed=None):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     grid = (b // block_b, h)
@@ -81,10 +139,16 @@ def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False):
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((block_b, 1, sk, d), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec, kvspec]
+    operands = (q, k, v)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                          dropout_rate=dropout_rate),
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec],
+        in_specs=in_specs,
         out_specs=(
             qspec,
             pl.BlockSpec((block_b, 1, 1, sq), lambda i, j: (i, j, 0, 0),
@@ -98,15 +162,20 @@ def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     return out, lse
 
 
 # ----------------------------------------------------------------- backward
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, kv_len):
+def _bwd_kernel(*refs, scale, kv_len, dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
     bb = q_ref.shape[0]
     for i in range(bb):
         q = q_ref[i, 0]
@@ -132,6 +201,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )  # (Sq, Sk)
+        if dropout_rate > 0.0:
+            # regenerate the forward's mask: identical seeding sequence
+            mixed = (pl.program_id(0) * pl.num_programs(1)
+                     + pl.program_id(1)) * bb + i
+            pltpu.prng_seed(seed_ref[0], mixed)
+            keep = _keep_mask(p.shape, dropout_rate)
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+            p_v = jnp.where(keep, p * inv_keep, 0.0)  # for dV
+        else:
+            p_v = p
         ds = p * (dp - delta)  # fp32
 
         dq = jax.lax.dot(
@@ -144,7 +224,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             precision=jax.lax.Precision.DEFAULT,
         ) * scale
         dv = jax.lax.dot_general(
-            p.astype(do_ref.dtype), do_ref[i, 0], (((0,), (0,)), ((), ())),
+            p_v.astype(do_ref.dtype), do_ref[i, 0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
@@ -154,7 +234,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
 
 def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
-              interpret=False):
+              interpret=False, dropout_rate=0.0, seed=None):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     grid = (b // block_b, h)
@@ -164,10 +244,16 @@ def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
                           memory_space=pltpu.VMEM)
     lspec = pl.BlockSpec((block_b, 1, 1, sq), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec, kvspec, qspec, qspec, lspec]
+    operands = (q, k, v, o, do, lse)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, kv_len=kv_len),
+        functools.partial(_bwd_kernel, scale=scale, kv_len=kv_len,
+                          dropout_rate=dropout_rate),
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec, qspec, qspec, lspec],
+        in_specs=in_specs,
         out_specs=(qspec, kvspec, kvspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
@@ -178,7 +264,7 @@ def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(*operands)
 
 
 # ---------------------------------------------------------------- public op
@@ -242,18 +328,67 @@ def _flash_vjp_bwd(kv_len, interpret, saved, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def flash_attention(q, k, v, *, mask=None, interpret=False):
+# ------------------------------------------------ dropout variant (q/k/v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_dropout(q, k, v, seed, kv_len, rate, interpret):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    block_b = _pick_block_b(q.shape[0], q.shape[2], k.shape[2])
+    out, _ = _fwd(q, k, v, scale=scale, kv_len=kv_len, block_b=block_b,
+                  interpret=interpret, dropout_rate=rate, seed=seed)
+    return out
+
+
+def _flash_dropout_vjp_fwd(q, k, v, seed, kv_len, rate, interpret):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    block_b = _pick_block_b(q.shape[0], q.shape[2], k.shape[2])
+    out, lse = _fwd(q, k, v, scale=scale, kv_len=kv_len, block_b=block_b,
+                    interpret=interpret, dropout_rate=rate, seed=seed)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    return out, (q, k, v, out, lse, seed)
+
+
+def _flash_dropout_vjp_bwd(kv_len, rate, interpret, saved, g):
+    q, k, v, out, lse, seed = saved
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    block_b = _pick_block_b(q.shape[0], q.shape[2], k.shape[2])
+    dq, dk, dv = _bwd_call(q, k, v, out, g, lse, scale=scale, kv_len=kv_len,
+                           block_b=block_b, interpret=interpret,
+                           dropout_rate=rate, seed=seed)
+    return dq, dk, dv, _FLOAT0_SEED_COT
+
+
+_flash_dropout.defvjp(_flash_dropout_vjp_fwd, _flash_dropout_vjp_bwd)
+
+
+def flash_attention(q, k, v, *, mask=None, interpret=False,
+                    dropout_rate: float = 0.0, dropout_rng=None):
     """Fused TPU attention. q: (B,H,Sq,d); k/v: (B,H,Sk,d) -> (B,H,Sq,d).
 
     `mask` is unsupported here (ViT uses full attention; key padding inside
     the kernel is handled automatically) — callers needing arbitrary masks
     get the jnp reference path.
+
+    dropout_rate/dropout_rng: stateless in-kernel dropout on the softmax
+    probabilities (train.py:545 semantics); the backward kernel replays the
+    identical mask from the same seed. The bits come from the TPU hardware
+    PRNG, not threefry — statistically equivalent to the jnp path, not
+    bit-identical to it.
     """
     if mask is not None:
         from arsvt_tpu.ops.attention import sdpa_reference
 
-        return sdpa_reference(q, k, v, mask=mask)
+        return sdpa_reference(q, k, v, mask=mask,
+                              dropout_rate=dropout_rate,
+                              dropout_rng=dropout_rng)
     kv_len = k.shape[2]
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return _flash_dropout(q, k, v, seed_from_rng(dropout_rng), kv_len,
+                              float(dropout_rate), interpret)
     return _flash(q, k, v, kv_len, interpret)
 
 
@@ -278,7 +413,7 @@ def _split_qkv(qkv_flat, num_heads):
     return qkv[0], qkv[1], qkv[2]  # each (B, H, S, hd)
 
 
-def _packed_fwd_impl(qkv_flat, num_heads, interpret):
+def _packed_fwd_impl(qkv_flat, num_heads, interpret, rate=0.0, seed=None):
     from jax.ad_checkpoint import checkpoint_name
 
     b, s, three_d = qkv_flat.shape
@@ -287,25 +422,14 @@ def _packed_fwd_impl(qkv_flat, num_heads, interpret):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     block_b = _pick_block_b(b, s, s)
     out, lse = _fwd(q, k, v, scale=scale, kv_len=s, block_b=block_b,
-                    interpret=interpret)
+                    interpret=interpret, dropout_rate=rate, seed=seed)
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     out_bsd = out.transpose(0, 2, 1, 3).reshape(b, s, d)
     return out_bsd, (qkv_flat, out, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def flash_self_attention_packed(qkv_flat, num_heads, interpret=False):
-    """(B, S, 3D) fused-QKV projection output -> (B, S, D) attention out."""
-    out_bsd, _ = _packed_fwd_impl(qkv_flat, num_heads, interpret)
-    return out_bsd
-
-
-def _packed_vjp_fwd(qkv_flat, num_heads, interpret):
-    return _packed_fwd_impl(qkv_flat, num_heads, interpret)
-
-
-def _packed_vjp_bwd(num_heads, interpret, saved, g):
+def _packed_bwd_impl(saved, g, num_heads, interpret, rate=0.0, seed=None):
     qkv_flat, out, lse = saved
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
@@ -316,13 +440,64 @@ def _packed_vjp_bwd(num_heads, interpret, saved, g):
     block_b = _pick_block_b(b, s, s)
     dq, dk, dv = _bwd_call(q, k, v, out, do.astype(out.dtype), lse,
                            scale=scale, kv_len=s, block_b=block_b,
-                           interpret=interpret)
+                           interpret=interpret, dropout_rate=rate, seed=seed)
     dqkv = jnp.stack([dq, dk, dv])  # (3, B, H, S, hd)
     dqkv_flat = dqkv.transpose(1, 3, 0, 2, 4).reshape(b, s, three_d)
-    return (dqkv_flat.astype(qkv_flat.dtype),)
+    return dqkv_flat.astype(qkv_flat.dtype)
 
 
-flash_self_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _packed_nodrop(qkv_flat, num_heads, interpret=False):
+    out_bsd, _ = _packed_fwd_impl(qkv_flat, num_heads, interpret)
+    return out_bsd
+
+
+def _packed_vjp_fwd(qkv_flat, num_heads, interpret):
+    return _packed_fwd_impl(qkv_flat, num_heads, interpret)
+
+
+def _packed_vjp_bwd(num_heads, interpret, saved, g):
+    return (_packed_bwd_impl(saved, g, num_heads, interpret),)
+
+
+_packed_nodrop.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _packed_dropout(qkv_flat, seed, num_heads, rate, interpret):
+    out_bsd, _ = _packed_fwd_impl(qkv_flat, num_heads, interpret,
+                                  rate=rate, seed=seed)
+    return out_bsd
+
+
+def _packed_dropout_vjp_fwd(qkv_flat, seed, num_heads, rate, interpret):
+    out_bsd, saved = _packed_fwd_impl(qkv_flat, num_heads, interpret,
+                                      rate=rate, seed=seed)
+    return out_bsd, (saved, seed)
+
+
+def _packed_dropout_vjp_bwd(num_heads, rate, interpret, res, g):
+    saved, seed = res
+    dqkv = _packed_bwd_impl(saved, g, num_heads, interpret,
+                            rate=rate, seed=seed)
+    return dqkv, _FLOAT0_SEED_COT
+
+
+_packed_dropout.defvjp(_packed_dropout_vjp_fwd, _packed_dropout_vjp_bwd)
+
+
+def flash_self_attention_packed(qkv_flat, num_heads, interpret=False,
+                                *, dropout_rate: float = 0.0,
+                                dropout_rng=None):
+    """(B, S, 3D) fused-QKV projection output -> (B, S, D) attention out.
+
+    Optional stateless in-kernel dropout on the softmax probabilities
+    (see module docstring) — keeps the residual-lean VJP on the kernel
+    path for reference-faithful attn_dropout training (train.py:1352)."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return _packed_dropout(qkv_flat, seed_from_rng(dropout_rng),
+                               num_heads, float(dropout_rate), interpret)
+    return _packed_nodrop(qkv_flat, num_heads, interpret)
 
 
 # ------------------------------------------- direct-layout (transpose-free)
@@ -338,8 +513,11 @@ flash_self_attention_packed.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 # benchmarks/attn_layout_bench.py.
 
 
-def _fwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                       head_dim, group):
+def _fwd_kernel_direct(*refs, scale, head_dim, group, dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     bb = q_ref.shape[0]
     for i in range(bb):  # unrolled over the batch block
         outs = []
@@ -355,6 +533,12 @@ def _fwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                mixed = ((pl.program_id(0) * pl.num_programs(1)
+                          + pl.program_id(1)) * bb + i) * group + t
+                pltpu.prng_seed(seed_ref[0], mixed)
+                keep = _keep_mask(p.shape, dropout_rate)
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
             o = jax.lax.dot(
                 p.astype(v_ref.dtype), v_ref[i, :, sl],
                 preferred_element_type=jnp.float32,
@@ -394,7 +578,8 @@ def _direct_specs(b, s, d, num_heads, block_b):
     return qspec, kspec, vspec, ospec, lspec, group, n_blocks
 
 
-def _fwd_direct(qkv_flat, num_heads, *, interpret=False):
+def _fwd_direct(qkv_flat, num_heads, *, interpret=False,
+                dropout_rate=0.0, seed=None):
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
     hd = d // num_heads
@@ -402,11 +587,16 @@ def _fwd_direct(qkv_flat, num_heads, *, interpret=False):
     block_b = _pick_block_b(b, s, s)
     qspec, kspec, vspec, ospec, lspec, group, n_blocks = _direct_specs(
         b, s, d, num_heads, block_b)
+    in_specs = [qspec, kspec, vspec]
+    operands = (qkv_flat, qkv_flat, qkv_flat)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_direct, scale=scale, head_dim=hd,
-                          group=group),
+                          group=group, dropout_rate=dropout_rate),
         grid=(b // block_b, n_blocks),
-        in_specs=[qspec, kspec, vspec],
+        in_specs=in_specs,
         out_specs=(ospec, lspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
@@ -416,12 +606,17 @@ def _fwd_direct(qkv_flat, num_heads, *, interpret=False):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(qkv_flat, qkv_flat, qkv_flat)
+    )(*operands)
     return out, lse
 
 
-def _bwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                       dq_ref, dk_ref, dv_ref, *, scale, head_dim, group):
+def _bwd_kernel_direct(*refs, scale, head_dim, group, dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
     bb = q_ref.shape[0]
     for i in range(bb):
         dqs, dks, dvs = [], [], []
@@ -448,6 +643,17 @@ def _bwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             )
+            if dropout_rate > 0.0:
+                # replay the forward's per-(cell, item, head) mask
+                mixed = ((pl.program_id(0) * pl.num_programs(1)
+                          + pl.program_id(1)) * bb + i) * group + t
+                pltpu.prng_seed(seed_ref[0], mixed)
+                keep = _keep_mask(p.shape, dropout_rate)
+                inv_keep = 1.0 / (1.0 - dropout_rate)
+                dp = jnp.where(keep, dp * inv_keep, 0.0)
+                p_v = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                p_v = p
             ds = p * (dp - delta)
 
             dqs.append((jax.lax.dot(
@@ -460,7 +666,7 @@ def _bwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 precision=jax.lax.Precision.DEFAULT,
             ) * scale).astype(dk_ref.dtype))
             dvs.append(jax.lax.dot_general(
-                p.astype(do_raw.dtype), do_raw, (((0,), (0,)), ((), ())),
+                p_v.astype(do_raw.dtype), do_raw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT,
             ).astype(dv_ref.dtype))
@@ -469,7 +675,8 @@ def _bwd_kernel_direct(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[i] = dvs[0] if group == 1 else jnp.concatenate(dvs, axis=-1)
 
 
-def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False):
+def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False,
+                dropout_rate=0.0, seed=None):
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
     hd = d // num_heads
@@ -477,11 +684,16 @@ def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False):
     block_b = _pick_block_b(b, s, s)
     qspec, kspec, vspec, ospec, lspec, group, n_blocks = _direct_specs(
         b, s, d, num_heads, block_b)
+    in_specs = [qspec, kspec, vspec, ospec, ospec, lspec]
+    operands = (qkv_flat, qkv_flat, qkv_flat, out, dout, lse)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
     return pl.pallas_call(
         functools.partial(_bwd_kernel_direct, scale=scale, head_dim=hd,
-                          group=group),
+                          group=group, dropout_rate=dropout_rate),
         grid=(b // block_b, n_blocks),
-        in_specs=[qspec, kspec, vspec, ospec, ospec, lspec],
+        in_specs=in_specs,
         out_specs=(ospec, ospec, ospec),
         out_shape=(
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
@@ -492,7 +704,7 @@ def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(qkv_flat, qkv_flat, qkv_flat, out, dout, lse)
+    )(*operands)
 
 
 # -------------------------------------- fused encoder attention (QKV→SDPA→O)
@@ -506,11 +718,13 @@ def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False):
 # dy and dW_qkv are computed per-q/k/v against column slices of the weight.
 
 
-def _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+def _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads, interpret,
+                       rate=0.0, seed=None):
     from jax.ad_checkpoint import checkpoint_name
 
     qkv = jnp.dot(y, wqkv) + bqkv
-    attn, lse = _fwd_direct(qkv, num_heads, interpret=interpret)
+    attn, lse = _fwd_direct(qkv, num_heads, interpret=interpret,
+                            dropout_rate=rate, seed=seed)
     attn = checkpoint_name(attn, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     out = jnp.dot(attn, wproj) + bproj
@@ -518,37 +732,7 @@ def _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
     return out, (y, qkv, attn, lse, wqkv, wproj)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_encoder_attention(y, wqkv, bqkv, wproj, bproj, num_heads,
-                            interpret=False):
-    """y: (B,S,D); wqkv: (D,3D); wproj: (D,D) — all compute-dtype.
-
-    Returns (B,S,D): out_proj(attention(qkv_proj(y))). Equivalent to the
-    unfused qkv-matmul → self_attention_from_qkv → proj-matmul composition
-    (tested against it) with transpose-free kernels and leaner residuals.
-
-    Raises ValueError on head geometries the 128-lane column-block kernel
-    cannot cover (requires head_dim | 128 and 128 | D) — e.g. the DeiT-400d
-    detector's H=8/d=50; dispatch routes those to the transpose path.
-    """
-    d = y.shape[-1]
-    if d % num_heads or not _direct_supported(num_heads, d // num_heads):
-        raise ValueError(
-            f"fused_encoder_attention: unsupported geometry D={d}, "
-            f"H={num_heads} (need head_dim dividing 128 and 128 dividing D);"
-            " use the qkv/flash path instead"
-        )
-    out, _ = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
-                                interpret)
-    return out
-
-
-def _enc_attn_vjp_fwd(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
-    return _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
-                              interpret)
-
-
-def _enc_attn_vjp_bwd(num_heads, interpret, saved, g):
+def _enc_attn_bwd_impl(saved, g, num_heads, interpret, rate=0.0, seed=None):
     y, qkv, attn, lse, wqkv, wproj = saved
     b, s, d = y.shape
     y2 = y.reshape(b * s, d)
@@ -563,7 +747,8 @@ def _enc_attn_vjp_bwd(num_heads, interpret, saved, g):
     # attention core — emits dq/dk/dv as (B,S,D) head-column layouts; no
     # (B,S,3D) cotangent or (B,H,S,d) transpose is ever materialised
     dq, dk, dv = _bwd_direct(qkv, attn, dattn.astype(attn.dtype), lse,
-                             num_heads, interpret=interpret)
+                             num_heads, interpret=interpret,
+                             dropout_rate=rate, seed=seed)
 
     # qkv projection, per column slice of the packed weight
     wq, wk, wv = wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:]
@@ -583,4 +768,81 @@ def _enc_attn_vjp_bwd(num_heads, interpret, saved, g):
             dbproj.astype(wproj.dtype))
 
 
-fused_encoder_attention.defvjp(_enc_attn_vjp_fwd, _enc_attn_vjp_bwd)
+def _check_enc_attn_geometry(d, num_heads):
+    if d % num_heads or not _direct_supported(num_heads, d // num_heads):
+        raise ValueError(
+            f"fused_encoder_attention: unsupported geometry D={d}, "
+            f"H={num_heads} (need head_dim dividing 128 and 128 dividing D);"
+            " use the qkv/flash path instead"
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _enc_attn_nodrop(y, wqkv, bqkv, wproj, bproj, num_heads,
+                     interpret=False):
+    out, _ = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                interpret)
+    return out
+
+
+def _enc_attn_vjp_fwd(y, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+    return _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                              interpret)
+
+
+def _enc_attn_vjp_bwd(num_heads, interpret, saved, g):
+    return _enc_attn_bwd_impl(saved, g, num_heads, interpret)
+
+
+_enc_attn_nodrop.defvjp(_enc_attn_vjp_fwd, _enc_attn_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _enc_attn_dropout(y, wqkv, bqkv, wproj, bproj, seed, num_heads, rate,
+                      interpret):
+    out, _ = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                interpret, rate=rate, seed=seed)
+    return out
+
+
+def _enc_attn_dropout_vjp_fwd(y, wqkv, bqkv, wproj, bproj, seed, num_heads,
+                              rate, interpret):
+    out, saved = _enc_attn_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                    interpret, rate=rate, seed=seed)
+    return out, (saved, seed)
+
+
+def _enc_attn_dropout_vjp_bwd(num_heads, rate, interpret, res, g):
+    saved, seed = res
+    grads = _enc_attn_bwd_impl(saved, g, num_heads, interpret,
+                               rate=rate, seed=seed)
+    return grads + (_FLOAT0_SEED_COT,)
+
+
+_enc_attn_dropout.defvjp(_enc_attn_dropout_vjp_fwd, _enc_attn_dropout_vjp_bwd)
+
+
+def fused_encoder_attention(y, wqkv, bqkv, wproj, bproj, num_heads,
+                            interpret=False, *, dropout_rate: float = 0.0,
+                            dropout_rng=None):
+    """y: (B,S,D); wqkv: (D,3D); wproj: (D,D) — all compute-dtype.
+
+    Returns (B,S,D): out_proj(attention(qkv_proj(y))). Equivalent to the
+    unfused qkv-matmul → self_attention_from_qkv → proj-matmul composition
+    (tested against it) with transpose-free kernels and leaner residuals.
+
+    Optional stateless in-kernel dropout on the softmax probabilities
+    (module docstring) keeps reference-faithful attn_dropout training
+    (train.py:528,545,1352) on this fused path.
+
+    Raises ValueError on head geometries the 128-lane column-block kernel
+    cannot cover (requires head_dim | 128 and 128 | D) — e.g. the DeiT-400d
+    detector's H=8/d=50; dispatch routes those to the transpose path.
+    """
+    _check_enc_attn_geometry(y.shape[-1], num_heads)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return _enc_attn_dropout(y, wqkv, bqkv, wproj, bproj,
+                                 seed_from_rng(dropout_rng), num_heads,
+                                 float(dropout_rate), interpret)
+    return _enc_attn_nodrop(y, wqkv, bqkv, wproj, bproj, num_heads,
+                            interpret)

@@ -158,7 +158,7 @@ TRAIN_PRESETS: dict[str, TrainConfig] = {
         learning_rate=1e-4, weight_decay=1e-4, schedule="plateau",
         max_objects=25, augment="detection", canvas=224,
         # the reference trains with dropout 0.1 *including* attention probs
-        # (train.py:545,1352); routes attention to the jnp path in training
+        # (train.py:545,1352); runs in-kernel on TPU (stateless PRNG mask)
         attn_dropout=0.1,
     ),
 }

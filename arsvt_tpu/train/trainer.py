@@ -190,10 +190,18 @@ class Trainer:
     def evaluate(self, batches: Iterator[dict]) -> dict:
         """Aggregate eval metrics. Classification batches (with 'correct' /
         'count' / 'confusion') get accuracy + confusion matrix; any other
-        scalar metrics (detection loss parts) are averaged over batches."""
+        scalar metrics (detection loss parts) are averaged over batches.
+
+        Detection runs additionally surface COCO-protocol val mAP/AP50/AP75
+        at every eval cadence (the reference plateaus on val loss only and
+        never computes mAP at all — evaluation.py:18,593-615): detect
+        eval_steps return raw `outputs`, which are post-processed here via
+        the same collection path as the offline evaluate_detector."""
         sums: dict = {}
         confusion = None
         total_correct = total_count = n_batches = 0
+        ap_preds: list = []
+        ap_gts: list = []
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
             m = self.eval_step(self.state["params"], batch)
@@ -206,7 +214,16 @@ class Trainer:
                 elif k == "count":
                     total_count += int(v)
                 elif k == "outputs":
-                    continue
+                    if self.cfg.task == "detect" and "boxes" in batch:
+                        from arsvt_tpu.evaluation.detect import (
+                            collect_batch_detections,
+                        )
+
+                        _, ap_p, g = collect_batch_detections(
+                            v, batch, conf_threshold=0.5, nms_threshold=0.5,
+                        )
+                        ap_preds.extend(ap_p)
+                        ap_gts.extend(g)
                 else:
                     sums[k] = sums.get(k, 0.0) + float(v)
             n_batches += 1
@@ -217,4 +234,13 @@ class Trainer:
             out["accuracy"] = total_correct / total_count
         if confusion is not None:
             out["confusion"] = confusion.tolist()
+        if ap_preds:
+            from arsvt_tpu.evaluation.detect import average_precision
+
+            ap = average_precision(
+                ap_preds, ap_gts, num_classes=self.cfg.num_classes
+            )
+            out["mAP"] = ap["mAP"]
+            out["AP50"] = ap["AP50"]
+            out["AP75"] = ap["AP75"]
         return out

@@ -198,9 +198,38 @@ def test_detection_augment_reference_parity_table():
         (cfg.dropout_p, 0.25, "CoarseDropout.p"),
         (cfg.min_visibility, 0.1, "BboxParams.min_visibility"),
         (cfg.min_area_px, 1.0, "BboxParams.min_area"),
+        (cfg.interpolation, "lanczos4", "Affine.interpolation=INTER_LANCZOS4"),
     ]
     for ours, ref, site in parity:
         assert ours == ref, f"{site}: ours={ours} reference={ref}"
+
+
+def test_lanczos4_warp_identity_and_shift():
+    """Lanczos-4 interpolates exactly at integer sample points: identity
+    and integer-pixel translations must reproduce the image bit-near-exactly
+    (the kernel is 1 at 0 and 0 at every other integer)."""
+    from arsvt_tpu.data.augment import _lanczos4_warp
+
+    img = jax.random.uniform(jax.random.PRNGKey(6), (24, 24, 3))
+    out = _lanczos4_warp(img, jnp.eye(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    # integer shift: inv matrix maps output (x,y) -> source (x+2, y+3)
+    inv = jnp.eye(3).at[0, 2].set(2.0).at[1, 2].set(3.0)
+    out = np.asarray(_lanczos4_warp(img, inv))
+    ref = np.asarray(img)[3:, 2:]
+    np.testing.assert_allclose(out[: ref.shape[0], : ref.shape[1]], ref,
+                               atol=1e-5)
+
+
+def test_lanczos4_warp_clamps_overshoot():
+    from arsvt_tpu.data.augment import _lanczos4_warp
+
+    # hard edge drives Lanczos overshoot; output must stay in [0,1] like
+    # the reference's uint8 saturation
+    img = jnp.zeros((32, 32, 3)).at[:, 16:].set(1.0)
+    inv = jnp.eye(3).at[0, 2].set(0.5)  # half-pixel shift
+    out = np.asarray(_lanczos4_warp(img, inv))
+    assert out.min() >= 0.0 and out.max() <= 1.0
 
 
 def test_random_shadow_stays_in_roi():
@@ -431,3 +460,62 @@ def test_prefetcher_exhaustion_raises_not_blocks():
 
     with _pytest.raises(StopIteration):
         next(p)  # must raise again, not block forever
+
+
+def test_synthetic_shapes_not_color_separable():
+    """The classification-generalization surface (VERDICT round-2 #4): the
+    per-class MEAN COLOR must carry ~zero signal (shapes/texture only), and
+    the per-class mean IMAGES must differ (there is geometric signal)."""
+    from arsvt_tpu.data.synthetic import synthetic_shape_batches
+
+    gen = synthetic_shape_batches(batch_size=128, image_size=24, seed=0)
+    imgs, labs = [], []
+    for _ in range(16):
+        b = next(gen)
+        imgs.append(b["image"])
+        labs.append(b["label"])
+    imgs = np.concatenate(imgs)
+    labs = np.concatenate(labs)
+    assert len(np.unique(labs)) == 6
+    mean_colors = np.stack(
+        [imgs[labs == c].mean(axis=(0, 1, 2)) for c in range(6)]
+    )
+    # fg/bg colors are drawn class-independently, so per-class mean color
+    # deviation is pure sampling noise (se ~ 0.245/sqrt(n_per_class))
+    color_spread = np.abs(mean_colors - mean_colors.mean(0)).max()
+    assert color_spread < 0.05, mean_colors
+    # a color-only probe must stay at chance: softmax regression on the
+    # (mean RGB, RGB std) feature vector — the old generator was solvable
+    # this way (per-class mean colors), this one must not be
+    feats = np.concatenate(
+        [imgs.mean(axis=(1, 2)), imgs.std(axis=(1, 2))], axis=1
+    )
+    feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-9)
+    w = np.zeros((feats.shape[1], 6))
+    onehot = np.eye(6)[labs]
+    for _ in range(300):  # full-batch GD, lr 0.5
+        logits = feats @ w
+        p = np.exp(logits - logits.max(1, keepdims=True))
+        p /= p.sum(1, keepdims=True)
+        w -= 0.5 * feats.T @ (p - onehot) / len(labs)
+    acc = ((feats @ w).argmax(1) == labs).mean()
+    assert acc < 0.28, f"color probe solves the set: {acc:.3f}"  # chance=1/6
+    # ...while the geometry does differ: fixed-seed masks of different
+    # classes disagree on a substantial pixel fraction
+    from arsvt_tpu.data.synthetic import _shape_mask
+
+    masks = [
+        _shape_mask(c, 32, np.random.default_rng(123)) for c in range(6)
+    ]
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert (masks[a] ^ masks[b]).mean() > 0.04, (a, b)
+
+
+def test_synthetic_shapes_deterministic():
+    from arsvt_tpu.data.synthetic import synthetic_shape_batches
+
+    a = next(synthetic_shape_batches(batch_size=4, image_size=16, seed=3))
+    b = next(synthetic_shape_batches(batch_size=4, image_size=16, seed=3))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["label"], b["label"])

@@ -133,6 +133,21 @@ def test_detection_train_smoke(tmp_path, cpu_mesh):
     )
     assert "mAP" in ev and np.isfinite(ev["loss"])
 
+    # in-training val cadence surfaces COCO AP (VERDICT round-2 #8): the
+    # trainer's evaluate post-processes detect eval outputs into mAP rows
+    val = tr.evaluate(
+        itertools.islice(
+            detection_batches(
+                CocoDataset(root + "/valid"), batch_size=8, canvas=32,
+                max_objects=4, seed=1,
+            ),
+            1,
+        )
+    )
+    for key in ("mAP", "AP50", "AP75", "loss"):
+        assert key in val, key
+        assert np.isfinite(val[key]), key
+
 
 def test_detr_aux_outputs_and_loss(cpu_mesh):
     """DETR deep supervision: aux outputs exist and increase the loss."""

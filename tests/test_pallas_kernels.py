@@ -171,3 +171,178 @@ def test_packed_self_attention_matches_reference(shape):
         bb = np.asarray(g2, np.float32)
         rel = np.abs(a - bb).max() / (np.abs(bb).max() + 1e-9)
         assert rel < 2e-2
+
+
+# -------------------------------------------------- in-kernel attn dropout
+#
+# The dropout mask is value-independent (seeded only by grid indices), so
+# the EXACT mask can be extracted with basis-vector probes on V; fwd and
+# every grad are then checked against a jnp reference using that same mask.
+# Reference semantics: dropout on softmax probabilities, train.py:545,1352.
+
+
+def _extract_mask_legacy(q, k, seed, rate):
+    from arsvt_tpu.ops.pallas.flash_attention import _fwd, _pick_block_b
+
+    b, h, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+
+    @jax.jit
+    def probe(vv):
+        out, _ = _fwd(q, k, vv, scale=scale, kv_len=s, block_b=block_b,
+                      dropout_rate=rate, seed=seed)
+        return out
+
+    cols = []
+    for k0 in range(s):
+        vv = jnp.zeros((b, h, s, d), q.dtype).at[:, :, k0, :].set(1.0)
+        cols.append(np.asarray(probe(vv))[..., 0])
+    return np.stack(cols, axis=-1)  # (B,H,S,S) = M*P/keep
+
+
+def test_flash_dropout_matches_masked_reference():
+    from arsvt_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_self_attention_packed, seed_from_rng,
+    )
+
+    rate, keep = 0.3, 0.7
+    b, h, s, d = 2, 2, 128, 64
+    rng = jax.random.PRNGKey(42)
+    seed = seed_from_rng(rng)
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, s, d), jnp.float32)
+    scale = 1.0 / (d ** 0.5)
+
+    a_mat = _extract_mask_legacy(q, k, seed, rate)
+    p_ref = np.asarray(jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale, axis=-1))
+    mask = a_mat > 1e-12
+    assert abs(mask.mean() - keep) < 0.02  # Bernoulli(keep) fraction
+    rel = (np.abs(a_mat - mask * p_ref / keep) / (p_ref / keep + 1e-6)).max()
+    assert rel < 2e-2  # in-kernel dots truncate fp32 at precision=DEFAULT
+
+    mask_j = jnp.asarray(mask)
+
+    def ref(q, k, v):
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale, axis=-1)
+        p = jnp.where(mask_j, p / keep, 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    g_c = jax.random.normal(jax.random.fold_in(key, 3), (b, h, s, d),
+                            jnp.float32)
+    out_k = jax.jit(lambda: flash_attention(
+        q, k, v, dropout_rate=rate, dropout_rng=rng))()
+    out_r = ref(q, k, v)
+    e = np.abs(np.asarray(out_k) - np.asarray(out_r)).max()
+    e /= np.abs(np.asarray(out_r)).max()
+    assert e < 2e-2
+
+    loss_k = lambda q, k, v: jnp.sum(flash_attention(  # noqa: E731
+        q, k, v, dropout_rate=rate, dropout_rng=rng) * g_c)
+    loss_r = lambda q, k, v: jnp.sum(ref(q, k, v) * g_c)  # noqa: E731
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, bb_ in zip(gk, gr):
+        rel = np.abs(np.asarray(a) - np.asarray(bb_)).max()
+        rel /= np.abs(np.asarray(bb_)).max() + 1e-9
+        assert rel < 2e-2
+
+    # determinism + seed sensitivity
+    out_k2 = jax.jit(lambda: flash_attention(
+        q, k, v, dropout_rate=rate, dropout_rng=rng))()
+    assert np.array_equal(np.asarray(out_k), np.asarray(out_k2))
+    out_k3 = flash_attention(q, k, v, dropout_rate=rate,
+                             dropout_rng=jax.random.PRNGKey(7))
+    assert not np.array_equal(np.asarray(out_k), np.asarray(out_k3))
+
+    # packed layout shares the kernels + seeding -> identical output
+    qkv_flat = jnp.stack([q, k, v]).transpose(1, 3, 0, 2, 4).reshape(
+        b, s, 3 * h * d)
+    out_p = jax.jit(lambda x: flash_self_attention_packed(
+        x, h, dropout_rate=rate, dropout_rng=rng))(qkv_flat)
+    out_p = np.asarray(out_p).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    assert np.abs(out_p - np.asarray(out_k)).max() < 1e-5
+
+
+def test_fused_encoder_dropout_matches_masked_reference():
+    from arsvt_tpu.ops.pallas.flash_attention import (
+        _fwd_direct, fused_encoder_attention, seed_from_rng,
+    )
+
+    rate, keep = 0.3, 0.7
+    b, h, s, hd = 2, 2, 128, 64
+    d = h * hd
+    scale = 1.0 / (hd ** 0.5)
+    rng = jax.random.PRNGKey(42)
+    seed = seed_from_rng(rng)
+    key = jax.random.PRNGKey(1)
+    y = jax.random.normal(key, (b, s, d), jnp.float32)
+    wqkv = jax.random.normal(jax.random.fold_in(key, 5), (d, 3 * d),
+                             jnp.float32) * 0.05
+    bqkv = jax.random.normal(jax.random.fold_in(key, 6), (3 * d,),
+                             jnp.float32) * 0.1
+    wproj = jax.random.normal(jax.random.fold_in(key, 7), (d, d),
+                              jnp.float32) * 0.05
+    bproj = jax.random.normal(jax.random.fold_in(key, 8), (d,),
+                              jnp.float32) * 0.1
+
+    # extract the direct-kernel mask with V-basis probes
+    @jax.jit
+    def probe(qkv_probe):
+        out, _ = _fwd_direct(qkv_probe, h, dropout_rate=rate, seed=seed)
+        return out
+
+    base = jnp.zeros((b, s, 3 * d), jnp.float32).at[:, :, : 2 * d].set(
+        jax.random.normal(jax.random.fold_in(key, 9), (b, s, 2 * d),
+                          jnp.float32))
+    cols = []
+    for k0 in range(s):
+        o = np.asarray(probe(base.at[:, k0, 2 * d:].set(1.0)))
+        cols.append(np.stack([o[:, :, t * hd] for t in range(h)], axis=1))
+    a_mat = np.stack(cols, axis=-1)  # (B,H,S,S)
+    qd = np.asarray(base[:, :, :d]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    kd = np.asarray(base[:, :, d:2 * d]).reshape(b, s, h, hd).transpose(
+        0, 2, 1, 3)
+    p_ref = np.asarray(jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", qd, kd) * scale, axis=-1))
+    mask = a_mat > 1e-12
+    assert abs(mask.mean() - keep) < 0.02
+    rel = (np.abs(a_mat - mask * p_ref / keep) / (p_ref / keep + 1e-6)).max()
+    assert rel < 2e-2
+    mask_j = jnp.asarray(mask)
+
+    def enc_ref(y, wqkv, bqkv, wproj, bproj):
+        qkv = jnp.dot(y, wqkv) + bqkv
+        qq = qkv[:, :, :d].reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        kk = qkv[:, :, d:2 * d].reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        vv = qkv[:, :, 2 * d:].reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        p = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", qq, kk) * scale, axis=-1)
+        p = jnp.where(mask_j, p / keep, 0.0)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vv)
+        return jnp.dot(o.transpose(0, 2, 1, 3).reshape(b, s, d),
+                       wproj) + bproj
+
+    args = (y, wqkv, bqkv, wproj, bproj)
+    out_f = jax.jit(lambda *a: fused_encoder_attention(
+        *a, h, dropout_rate=rate, dropout_rng=rng))(*args)
+    out_r = enc_ref(*args)
+    e = np.abs(np.asarray(out_f) - np.asarray(out_r)).max()
+    e /= np.abs(np.asarray(out_r)).max()
+    assert e < 2e-2
+
+    g_c = jax.random.normal(jax.random.fold_in(key, 10), (b, s, d),
+                            jnp.float32)
+    loss_f = lambda *a: jnp.sum(fused_encoder_attention(  # noqa: E731
+        *a, h, dropout_rate=rate, dropout_rng=rng) * g_c)
+    loss_r = lambda *a: jnp.sum(enc_ref(*a) * g_c)  # noqa: E731
+    gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2, 3, 4)))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, bb_ in zip(gf, gr):
+        rel = np.abs(np.asarray(a) - np.asarray(bb_)).max()
+        rel /= np.abs(np.asarray(bb_)).max() + 1e-9
+        assert rel < 2e-2
