@@ -166,10 +166,16 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
         # kernels read/write per-head column blocks of the (B,S,3D)/(B,S,D)
         # layouts directly — no (B,H,S,d) transposes in either direction.
         # attn_dropout rides the kernel too (stateless in-kernel mask).
+        from arsvt_tpu.ops.dispatch import use_attn_save_probs
         from arsvt_tpu.ops.pallas.flash_attention import (
             fused_encoder_attention,
+            fused_encoder_attention_savep,
         )
 
+        if train and use_attn_save_probs():
+            # save-probs backward: only pays when training without remat
+            # (eval has no backward; remat replays the fwd anyway)
+            fused_encoder_attention = fused_encoder_attention_savep
         attn = fused_encoder_attention(
             y,
             bp["attn"]["qkv"]["kernel"].astype(y.dtype),

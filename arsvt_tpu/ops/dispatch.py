@@ -36,6 +36,15 @@ def use_ln_vjp() -> bool:
     return not os.environ.get("ARSVT_DISABLE_LN_VJP")
 
 
+def use_attn_save_probs() -> bool:
+    """Opt-in (ARSVT_ATTN_SAVE_PROBS=1): the fused encoder attention saves
+    the normalized bf16 probabilities as a residual so the backward drops
+    the K=64 QKᵀ score recompute, the exp and the lse/O operands — worth
+    (B,H,S,S) bf16 of HBM only under remat_policy="none" (see
+    ops/pallas/flash_attention.py save-probs section + PERFORMANCE.md)."""
+    return use_pallas() and bool(os.environ.get("ARSVT_ATTN_SAVE_PROBS"))
+
+
 def use_fused_encoder_attention(num_heads: int, head_dim: int) -> bool:
     """Direct-layout fused qkv-proj→attention→out-proj block: reads per-head
     column blocks straight from the (B,S,3D) projection output — zero HBM

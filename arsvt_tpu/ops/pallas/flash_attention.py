@@ -707,6 +707,295 @@ def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False,
     )(*operands)
 
 
+# ----------------------------------- save-probs variants (no-remat training)
+#
+# The no-remat backward's slowest matmuls are the K=64-contraction score
+# shapes (8 TF/s structural ceiling, see PERFORMANCE.md "attention
+# geometry"). One of them — the QKᵀ score recompute — exists only to
+# rebuild P from (q, k, lse). These variants instead WRITE P (normalized,
+# bf16) in the forward and read it back in the backward: the backward
+# drops the QKᵀ matmul, the exp, and the lse/O operands entirely
+# (Δ = rowsum(dP ∘ P) replaces rowsum(dO ∘ O) — the same value by the
+# flash identity). Cost: (B,H,S,S) bf16 of HBM per layer (~2.1 GB/step at
+# ViT-B bs192) — only worth it when residual memory is already the plan
+# (remat_policy="none"); dispatch gates it on ARSVT_ATTN_SAVE_PROBS.
+
+
+def _fwd_kernel_direct_savep(*refs, scale, head_dim, group,
+                             dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, p_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, p_ref = refs
+    bb = q_ref.shape[0]
+    for i in range(bb):
+        outs = []
+        for t in range(group):
+            sl = slice(t * head_dim, (t + 1) * head_dim)
+            q = q_ref[i, :, sl]
+            k = k_ref[i, :, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            p_norm = p / l
+            p_ref[i, t] = p_norm.astype(p_ref.dtype)
+            if dropout_rate > 0.0:
+                mixed = ((pl.program_id(0) * pl.num_programs(1)
+                          + pl.program_id(1)) * bb + i) * group + t
+                pltpu.prng_seed(seed_ref[0], mixed)
+                keep = _keep_mask(p.shape, dropout_rate)
+                p_norm = jnp.where(
+                    keep, p_norm * (1.0 / (1.0 - dropout_rate)), 0.0)
+            o = jax.lax.dot(
+                p_norm.astype(v_ref.dtype), v_ref[i, :, sl],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            outs.append(o.astype(o_ref.dtype))
+        o_ref[i] = outs[0] if group == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def _fwd_direct_savep(qkv_flat, num_heads, *, interpret=False,
+                      dropout_rate=0.0, seed=None):
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    qspec, kspec, vspec, ospec, _, group, n_blocks = _direct_specs(
+        b, s, d, num_heads, block_b)
+    pspec = pl.BlockSpec((block_b, group, s, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kspec, vspec]
+    operands = (qkv_flat, qkv_flat, qkv_flat)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
+    out, probs = pl.pallas_call(
+        functools.partial(_fwd_kernel_direct_savep, scale=scale, head_dim=hd,
+                          group=group, dropout_rate=dropout_rate),
+        grid=(b // block_b, n_blocks),
+        in_specs=in_specs,
+        out_specs=(ospec, pspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, s, s), jnp.bfloat16),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out, probs
+
+
+def _bwd_kernel_direct_savep(*refs, scale, head_dim, group,
+                             dropout_rate=0.0):
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, p_ref, do_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, p_ref, do_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    bb = q_ref.shape[0]
+    for i in range(bb):
+        dqs, dks, dvs = [], [], []
+        for t in range(group):
+            sl = slice(t * head_dim, (t + 1) * head_dim)
+            q = q_ref[i, :, sl]
+            k = k_ref[i, :, sl]
+            v = v_ref[i, :, sl]
+            do_raw = do_ref[i, :, sl]
+            do = do_raw.astype(jnp.float32)
+            p = p_ref[i, t].astype(jnp.float32)  # saved, bf16 -> fp32
+
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            if dropout_rate > 0.0:
+                mixed = ((pl.program_id(0) * pl.num_programs(1)
+                          + pl.program_id(1)) * bb + i) * group + t
+                pltpu.prng_seed(seed_ref[0], mixed)
+                keep = _keep_mask(p.shape, dropout_rate)
+                inv_keep = 1.0 / (1.0 - dropout_rate)
+                dp = jnp.where(keep, dp * inv_keep, 0.0)
+                p_v = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                p_v = p
+            # Δ = rowsum(dP ∘ P) == rowsum(dO ∘ O); computed in-register —
+            # no O operand, no lse, no QKᵀ recompute
+            delta = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds = p * (dp - delta)
+
+            dqs.append((jax.lax.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale).astype(dq_ref.dtype))
+            dks.append((jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale).astype(dk_ref.dtype))
+            dvs.append(jax.lax.dot_general(
+                p_v.astype(do_raw.dtype), do_raw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ).astype(dv_ref.dtype))
+        dq_ref[i] = dqs[0] if group == 1 else jnp.concatenate(dqs, axis=-1)
+        dk_ref[i] = dks[0] if group == 1 else jnp.concatenate(dks, axis=-1)
+        dv_ref[i] = dvs[0] if group == 1 else jnp.concatenate(dvs, axis=-1)
+
+
+def _bwd_direct_savep(qkv_flat, probs, dout, num_heads, *, interpret=False,
+                      dropout_rate=0.0, seed=None):
+    b, s, three_d = qkv_flat.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    block_b = _pick_block_b(b, s, s)
+    qspec, kspec, vspec, ospec, _, group, n_blocks = _direct_specs(
+        b, s, d, num_heads, block_b)
+    pspec = pl.BlockSpec((block_b, group, s, s), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [qspec, kspec, vspec, pspec, ospec]
+    operands = (qkv_flat, qkv_flat, qkv_flat, probs, dout)
+    if dropout_rate > 0.0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        operands = (seed,) + operands
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_direct_savep, scale=scale, head_dim=hd,
+                          group=group, dropout_rate=dropout_rate),
+        grid=(b // block_b, n_blocks),
+        in_specs=in_specs,
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _enc_attn_savep_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                             interpret, rate=0.0, seed=None):
+    qkv = jnp.dot(y, wqkv) + bqkv
+    attn, probs = _fwd_direct_savep(qkv, num_heads, interpret=interpret,
+                                    dropout_rate=rate, seed=seed)
+    out = jnp.dot(attn, wproj) + bproj
+    return out, (y, qkv, attn, probs, wqkv, wproj)
+
+
+def _enc_attn_savep_bwd_impl(saved, g, num_heads, interpret, rate=0.0,
+                             seed=None):
+    y, qkv, attn, probs, wqkv, wproj = saved
+    b, s, d = y.shape
+    y2 = y.reshape(b * s, d)
+    g2 = g.reshape(b * s, d)
+    a2 = attn.reshape(b * s, d)
+
+    dwproj = jnp.dot(a2.T, g2)
+    dbproj = jnp.sum(g2, axis=0)
+    dattn = jnp.dot(g2, wproj.T).reshape(b, s, d)
+
+    dq, dk, dv = _bwd_direct_savep(qkv, probs, dattn.astype(attn.dtype),
+                                   num_heads, interpret=interpret,
+                                   dropout_rate=rate, seed=seed)
+
+    wq, wk, wv = wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:]
+    dq2 = dq.reshape(b * s, d)
+    dk2 = dk.reshape(b * s, d)
+    dv2 = dv.reshape(b * s, d)
+    dy = (jnp.dot(dq2, wq.T) + jnp.dot(dk2, wk.T)
+          + jnp.dot(dv2, wv.T)).reshape(b, s, d)
+    dwqkv = jnp.concatenate(
+        [jnp.dot(y2.T, dq2), jnp.dot(y2.T, dk2), jnp.dot(y2.T, dv2)], axis=1
+    )
+    dbqkv = jnp.concatenate(
+        [jnp.sum(dq2, axis=0), jnp.sum(dk2, axis=0), jnp.sum(dv2, axis=0)]
+    )
+    return (dy.astype(y.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(wqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj.astype(wproj.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _enc_attn_savep_nodrop(y, wqkv, bqkv, wproj, bproj, num_heads,
+                           interpret=False):
+    out, _ = _enc_attn_savep_fwd_impl(y, wqkv, bqkv, wproj, bproj,
+                                      num_heads, interpret)
+    return out
+
+
+def _enc_attn_savep_vjp_fwd(y, wqkv, bqkv, wproj, bproj, num_heads,
+                            interpret):
+    return _enc_attn_savep_fwd_impl(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                    interpret)
+
+
+def _enc_attn_savep_vjp_bwd(num_heads, interpret, saved, g):
+    return _enc_attn_savep_bwd_impl(saved, g, num_heads, interpret)
+
+
+_enc_attn_savep_nodrop.defvjp(_enc_attn_savep_vjp_fwd,
+                              _enc_attn_savep_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _enc_attn_savep_dropout(y, wqkv, bqkv, wproj, bproj, seed, num_heads,
+                            rate, interpret):
+    out, _ = _enc_attn_savep_fwd_impl(y, wqkv, bqkv, wproj, bproj,
+                                      num_heads, interpret, rate=rate,
+                                      seed=seed)
+    return out
+
+
+def _enc_attn_savep_dropout_vjp_fwd(y, wqkv, bqkv, wproj, bproj, seed,
+                                    num_heads, rate, interpret):
+    out, saved = _enc_attn_savep_fwd_impl(y, wqkv, bqkv, wproj, bproj,
+                                          num_heads, interpret, rate=rate,
+                                          seed=seed)
+    return out, (saved, seed)
+
+
+def _enc_attn_savep_dropout_vjp_bwd(num_heads, rate, interpret, res, g):
+    saved, seed = res
+    grads = _enc_attn_savep_bwd_impl(saved, g, num_heads, interpret,
+                                     rate=rate, seed=seed)
+    return grads + (_FLOAT0_SEED_COT,)
+
+
+_enc_attn_savep_dropout.defvjp(_enc_attn_savep_dropout_vjp_fwd,
+                               _enc_attn_savep_dropout_vjp_bwd)
+
+
+def fused_encoder_attention_savep(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                  interpret=False, *,
+                                  dropout_rate: float = 0.0,
+                                  dropout_rng=None):
+    """fused_encoder_attention with the save-probs backward (see section
+    comment): trades (B,H,S,S) bf16 of residual HBM for dropping the QKᵀ
+    score recompute, the exp, and the lse/O operands from the backward.
+    Same geometry constraints as fused_encoder_attention."""
+    _check_enc_attn_geometry(y.shape[-1], num_heads)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return _enc_attn_savep_dropout(y, wqkv, bqkv, wproj, bproj,
+                                       seed_from_rng(dropout_rng), num_heads,
+                                       float(dropout_rate), interpret)
+    return _enc_attn_savep_nodrop(y, wqkv, bqkv, wproj, bproj, num_heads,
+                                  interpret)
+
+
 # -------------------------------------- fused encoder attention (QKV→SDPA→O)
 #
 # One custom VJP spanning qkv projection → attention → output projection.

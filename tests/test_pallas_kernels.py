@@ -32,6 +32,17 @@ def tpu_device():
     return jax.devices("tpu")[0] if jax.default_backend() == "tpu" else None
 
 
+@pytest.fixture(autouse=True)
+def _run_on_tpu():
+    """conftest pins jax_default_device to CPU (the virtual 8-device mesh);
+    every test in this module must lower Pallas for the real TPU instead."""
+    if jax.default_backend() == "tpu":
+        with jax.default_device(jax.devices("tpu")[0]):
+            yield
+    else:
+        yield
+
+
 def _rand(key, shape, dtype=jnp.bfloat16):
     return jax.random.normal(key, shape, jnp.float32).astype(dtype)
 
@@ -346,3 +357,47 @@ def test_fused_encoder_dropout_matches_masked_reference():
         rel = np.abs(np.asarray(a) - np.asarray(bb_)).max()
         rel /= np.abs(np.asarray(bb_)).max() + 1e-9
         assert rel < 2e-2
+
+
+def test_fused_encoder_savep_matches_standard():
+    """Save-probs fused encoder attention (backward reads the saved bf16 P
+    instead of recomputing QKᵀ/exp) vs the standard fused path: identical
+    forward, grads within bf16-P tolerance. Also with dropout at a fixed
+    seed — both variants must sample the SAME in-kernel mask."""
+    from arsvt_tpu.ops.pallas.flash_attention import (
+        fused_encoder_attention,
+        fused_encoder_attention_savep,
+    )
+
+    b, s, d, h = 4, 197, 768, 12
+    key = jax.random.PRNGKey(11)
+    y = _rand(key, (b, s, d))
+    wqkv = (_rand(jax.random.fold_in(key, 1), (d, 3 * d), jnp.float32)
+            * 0.05).astype(jnp.bfloat16)
+    bqkv = _rand(jax.random.fold_in(key, 2), (3 * d,)) * 0.1
+    wproj = (_rand(jax.random.fold_in(key, 3), (d, d), jnp.float32)
+             * 0.05).astype(jnp.bfloat16)
+    bproj = _rand(jax.random.fold_in(key, 4), (d,)) * 0.1
+    args = (y, wqkv, bqkv, wproj, bproj)
+
+    for rate, rng in ((0.0, None), (0.2, jax.random.PRNGKey(5))):
+        f_std = lambda *a: fused_encoder_attention(  # noqa: E731
+            *a, h, dropout_rate=rate, dropout_rng=rng)
+        f_sp = lambda *a: fused_encoder_attention_savep(  # noqa: E731
+            *a, h, dropout_rate=rate, dropout_rng=rng)
+        out_std = jax.jit(f_std)(*args)
+        out_sp = jax.jit(f_sp)(*args)
+        err = np.abs(np.asarray(out_std, np.float32)
+                     - np.asarray(out_sp, np.float32))
+        # fwd math is identical up to the (p/l) association order
+        assert err.max() < 2e-2, (rate, err.max())
+
+        loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
+            f(*a).astype(jnp.float32) ** 2)
+        g1 = jax.jit(jax.grad(loss(f_sp), argnums=(0, 1, 2, 3, 4)))(*args)
+        g2 = jax.jit(jax.grad(loss(f_std), argnums=(0, 1, 2, 3, 4)))(*args)
+        for a, bb_ in zip(g1, g2):
+            a = np.asarray(a, np.float32)
+            bb_ = np.asarray(bb_, np.float32)
+            rel = np.abs(a - bb_).max() / (np.abs(bb_).max() + 1e-9)
+            assert rel < 2e-2, rate
