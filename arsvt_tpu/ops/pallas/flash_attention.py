@@ -111,9 +111,11 @@ def _fwd_kernel(*refs, scale, kv_len, dropout_rate=0.0):
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
-            # unique stream per (grid cell, item); bwd replays identically
-            mixed = (pl.program_id(0) * pl.num_programs(1)
-                     + pl.program_id(1)) * bb + i
+            # unique stream per (ABSOLUTE batch item, head) — independent of
+            # block_b, so a forward and backward that pick different batch
+            # tilings still replay the identical mask
+            mixed = ((pl.program_id(0) * bb + i)
+                     * pl.num_programs(1) + pl.program_id(1))
             pltpu.prng_seed(seed_ref[0], mixed)
             keep = _keep_mask(p.shape, dropout_rate)
             p_use = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
@@ -203,8 +205,8 @@ def _bwd_kernel(*refs, scale, kv_len, dropout_rate=0.0):
         )  # (Sq, Sk)
         if dropout_rate > 0.0:
             # regenerate the forward's mask: identical seeding sequence
-            mixed = (pl.program_id(0) * pl.num_programs(1)
-                     + pl.program_id(1)) * bb + i
+            mixed = ((pl.program_id(0) * bb + i)
+                     * pl.num_programs(1) + pl.program_id(1))
             pltpu.prng_seed(seed_ref[0], mixed)
             keep = _keep_mask(p.shape, dropout_rate)
             inv_keep = 1.0 / (1.0 - dropout_rate)
@@ -534,8 +536,9 @@ def _fwd_kernel_direct(*refs, scale, head_dim, group, dropout_rate=0.0):
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=1, keepdims=True)
             if dropout_rate > 0.0:
-                mixed = ((pl.program_id(0) * pl.num_programs(1)
-                          + pl.program_id(1)) * bb + i) * group + t
+                mixed = ((pl.program_id(0) * bb + i)
+                         * pl.num_programs(1)
+                         + pl.program_id(1)) * group + t
                 pltpu.prng_seed(seed_ref[0], mixed)
                 keep = _keep_mask(p.shape, dropout_rate)
                 p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
@@ -645,8 +648,9 @@ def _bwd_kernel_direct(*refs, scale, head_dim, group, dropout_rate=0.0):
             )
             if dropout_rate > 0.0:
                 # replay the forward's per-(cell, item, head) mask
-                mixed = ((pl.program_id(0) * pl.num_programs(1)
-                          + pl.program_id(1)) * bb + i) * group + t
+                mixed = ((pl.program_id(0) * bb + i)
+                         * pl.num_programs(1)
+                         + pl.program_id(1)) * group + t
                 pltpu.prng_seed(seed_ref[0], mixed)
                 keep = _keep_mask(p.shape, dropout_rate)
                 inv_keep = 1.0 / (1.0 - dropout_rate)
@@ -745,8 +749,9 @@ def _fwd_kernel_direct_savep(*refs, scale, head_dim, group,
             p_norm = p / l
             p_ref[i, t] = p_norm.astype(p_ref.dtype)
             if dropout_rate > 0.0:
-                mixed = ((pl.program_id(0) * pl.num_programs(1)
-                          + pl.program_id(1)) * bb + i) * group + t
+                mixed = ((pl.program_id(0) * bb + i)
+                         * pl.num_programs(1)
+                         + pl.program_id(1)) * group + t
                 pltpu.prng_seed(seed_ref[0], mixed)
                 keep = _keep_mask(p.shape, dropout_rate)
                 p_norm = jnp.where(
@@ -820,8 +825,9 @@ def _bwd_kernel_direct_savep(*refs, scale, head_dim, group,
                 precision=jax.lax.Precision.DEFAULT,
             )
             if dropout_rate > 0.0:
-                mixed = ((pl.program_id(0) * pl.num_programs(1)
-                          + pl.program_id(1)) * bb + i) * group + t
+                mixed = ((pl.program_id(0) * bb + i)
+                         * pl.num_programs(1)
+                         + pl.program_id(1)) * group + t
                 pltpu.prng_seed(seed_ref[0], mixed)
                 keep = _keep_mask(p.shape, dropout_rate)
                 inv_keep = 1.0 / (1.0 - dropout_rate)
@@ -882,6 +888,12 @@ def _bwd_direct_savep(qkv_flat, probs, dout, num_heads, *, interpret=False,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            # the saved-P tile plus three fp32 temps (p, dp, ds) per
+            # unrolled row exceed Mosaic's default 16 MB scoped-VMEM stack
+            # at ViT-B shapes (measured 17.19 M at block_b=16); raise the
+            # per-kernel limit instead of shrinking the block — the dropout
+            # mask seeding must see the same absolute indices as forward
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

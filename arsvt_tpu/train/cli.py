@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import itertools
+import os
 import sys
 
 from arsvt_tpu.train.config import TRAIN_PRESETS, TrainConfig, resolve_backbone
@@ -141,6 +142,16 @@ def make_data(cfg: TrainConfig):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    # ARSVT_PLATFORM=cpu must pin EVERYTHING to CPU, not just the mesh:
+    # some PJRT plugins (the axon TPU tunnel) ignore JAX_PLATFORMS, so
+    # un-pinned ops (param init, host arrays) would otherwise ride the
+    # tunnel even for CPU-mesh runs and couple them to its health.
+    platform = os.environ.get("ARSVT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices(platform)[0])
 
     from arsvt_tpu.train.trainer import Trainer
     from arsvt_tpu.utils.logging import MetricLogger

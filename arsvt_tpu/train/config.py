@@ -61,6 +61,9 @@ class TrainConfig:
     mesh_model: int = 1
     remat: bool = False                      # jax.checkpoint the encoder blocks
     remat_policy: str = "full"  # "full"|"dots"|"names"|"all_but_mlp"|"mlp_tail"
+    # one-pass Pallas AdamW (ops/pallas/fused_adamw.py); state layout and
+    # math are identical to the optax chain, checkpoints interoperate
+    fused_adamw: bool = False
     # bookkeeping
     seed: int = 0
     log_every: int = 100                     # wandb cadence parity (train.py:1470)

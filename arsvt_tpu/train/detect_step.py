@@ -128,13 +128,21 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
         (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, step_rng
         )
-        updates, opt_state = optimizer.update(
-            grads, state["opt_state"], state["params"]
-        )
-        params = optax.apply_updates(state["params"], updates)
+        if cfg.fused_adamw:
+            from arsvt_tpu.train.optim import fused_adamw_update
+
+            params, opt_state, grad_norm = fused_adamw_update(
+                cfg, grads, state["opt_state"], state["params"]
+            )
+        else:
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            grad_norm = optax.global_norm(grads)
         metrics = {"loss": parts["total"], **{
             k: v for k, v in parts.items() if k != "total"
-        }, "grad_norm": optax.global_norm(grads)}
+        }, "grad_norm": grad_norm}
         return (
             {"params": params, "opt_state": opt_state,
              "step": state["step"] + 1},

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -104,3 +105,106 @@ def set_lr_scale(opt_state, scale: float):
     """Set the injected plateau multiplier on an inject_hyperparams state."""
     opt_state.hyperparams["lr_scale"] = jnp.asarray(scale, jnp.float32)
     return opt_state
+
+
+# ------------------------------------------------------- fused AdamW path
+#
+# cfg.fused_adamw=True: the whole optimizer update (clip → adam moments →
+# bias correction → weight decay → schedule·lr step → apply) runs as ONE
+# Pallas pass per leaf (ops/pallas/fused_adamw.py) instead of the optax
+# chain's several HBM sweeps. Math and state layout are exactly the chain's
+# — `fused_adamw_update(cfg, grads, opt_state, params)` consumes and
+# produces `make_optimizer(cfg)` states, so checkpoints interoperate and
+# tests pin step-for-step equality (test_fused_adamw_matches_optax).
+
+
+def _find_state(opt_state, cls):
+    """Locate the unique instance of an optax state class in the chain."""
+    hits = [
+        s for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, cls)
+        )
+        if isinstance(s, cls)
+    ]
+    if len(hits) != 1:
+        raise ValueError(
+            f"expected exactly one {cls.__name__} in the optimizer state, "
+            f"found {len(hits)} — fused_adamw requires make_optimizer's chain"
+        )
+    return hits[0]
+
+
+def fused_adamw_update(cfg: TrainConfig, grads, opt_state, params):
+    """One-pass AdamW: returns (new_params, new_opt_state, grad_norm).
+
+    Replaces `optimizer.update` + `optax.apply_updates` in the train step
+    when cfg.fused_adamw. Scalars (clip factor from the global grad norm,
+    bias corrections, schedule(count)·lr_scale step size) are computed here
+    and enter the per-leaf kernel via SMEM; the global grad norm is
+    returned so the step's metrics reuse it instead of re-reducing."""
+    import optax._src.transform as _t
+
+    from arsvt_tpu.ops.dispatch import use_pallas
+    from arsvt_tpu.ops.pallas.fused_adamw import adamw_leaf
+
+    adam = _find_state(opt_state, _t.ScaleByAdamState)
+    sched_state = _find_state(opt_state, _t.ScaleByScheduleState)
+    lr_scale = opt_state.hyperparams["lr_scale"]
+
+    gnorm = optax.global_norm(grads)
+    max_norm = cfg.grad_clip_norm
+    # exact clip_by_global_norm semantics (select, not min)
+    gscale = jnp.where(
+        gnorm < max_norm, 1.0, max_norm / gnorm.astype(jnp.float32)
+    )
+    count_inc = optax.safe_increment(adam.count)
+    bc1 = 1.0 - cfg.beta1 ** count_inc.astype(jnp.float32)
+    bc2 = 1.0 - cfg.beta2 ** count_inc.astype(jnp.float32)
+    # scale_by_schedule evaluates at the PRE-increment count
+    step = make_schedule(cfg)(sched_state.count) * lr_scale
+    scalars = jnp.stack([
+        gscale,
+        bc1.astype(jnp.float32),
+        bc2.astype(jnp.float32),
+        step.astype(jnp.float32),
+    ])
+
+    mask = _wd_mask(params)
+    kernel_on = use_pallas()
+    outs = jax.tree_util.tree_map(
+        lambda g, m, v, p, decayed: adamw_leaf(
+            scalars, g, m, v, p, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8,
+            wd=cfg.weight_decay if decayed else 0.0, use_kernel=kernel_on,
+        ),
+        grads, adam.mu, adam.nu, params, mask,
+    )
+    # tree_map flattens `outs` up to params' structure → o is each (p,m,v)
+    new_p = jax.tree_util.tree_map(lambda _, o: o[0], params, outs)
+    new_mu = jax.tree_util.tree_map(lambda _, o: o[1], params, outs)
+    new_nu = jax.tree_util.tree_map(lambda _, o: o[2], params, outs)
+
+    new_adam = _t.ScaleByAdamState(count=count_inc, mu=new_mu, nu=new_nu)
+    new_sched = _t.ScaleByScheduleState(
+        count=optax.safe_increment(sched_state.count)
+    )
+
+    def swap(s):
+        if isinstance(s, _t.ScaleByAdamState):
+            return new_adam
+        if isinstance(s, _t.ScaleByScheduleState):
+            return new_sched
+        return s
+
+    new_opt_state = jax.tree_util.tree_map(
+        swap, opt_state,
+        is_leaf=lambda x: isinstance(
+            x, (_t.ScaleByAdamState, _t.ScaleByScheduleState)
+        ),
+    )
+    # inject_hyperparams' own counter (used only for stateful schedules,
+    # which make() doesn't use — keep it advancing for state parity)
+    if hasattr(new_opt_state, "count"):
+        new_opt_state = new_opt_state._replace(
+            count=optax.safe_increment(new_opt_state.count)
+        )
+    return new_p, new_opt_state, gnorm

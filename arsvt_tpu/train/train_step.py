@@ -188,14 +188,22 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch["image"], batch["label"], step_rng
         )
-        updates, opt_state = optimizer.update(
-            grads, state["opt_state"], state["params"]
-        )
-        params = optax.apply_updates(state["params"], updates)
+        if cfg.fused_adamw:
+            from arsvt_tpu.train.optim import fused_adamw_update
+
+            params, opt_state, grad_norm = fused_adamw_update(
+                cfg, grads, state["opt_state"], state["params"]
+            )
+        else:
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            grad_norm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
             **aux,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
         return (
             {

@@ -59,7 +59,7 @@ def vit_b_fwd_gflops():
 
 
 def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
-                remat_policy: str = "none"):
+                remat_policy: str = "none", fused_adamw: bool = True):
     from arsvt_tpu.train.config import TrainConfig
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
@@ -67,11 +67,13 @@ def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
     # the fused-attention residual diet (no transposed q/k/v copies,
     # (B,H,1,S) lse) shrinks no-remat to ~12.4 GB at bs192; measured
     # 838.7 img/s vs 819.7 for all_but_mlp@bs256 (bs256 no-remat OOMs by
-    # 0.85 GB, bs224 measures 815.5 — memory-pressure regression)
+    # 0.85 GB, bs224 measures 815.5 — memory-pressure regression).
+    # Round 3: + one-pass Pallas AdamW (ops/pallas/fused_adamw.py).
     cfg = TrainConfig(
         preset="vit_base_16_224", batch_size=batch_size, bf16=True,
         augment="crop_flip", canvas=256, total_steps=10**6,
         remat=remat_policy != "none", remat_policy=remat_policy,
+        fused_adamw=fused_adamw,
     )
     init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -240,6 +242,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=192)
     ap.add_argument("--remat-policy", default="none")
+    ap.add_argument("--no-fused-adamw", action="store_true",
+                    help="optax-chain optimizer instead of the one-pass "
+                         "Pallas AdamW")
     ap.add_argument("--fast", action="store_true",
                     help="headline config only (skip BASELINE configs #3/#4 "
                          "and the detector)")
@@ -249,7 +254,8 @@ def main():
     from arsvt_tpu.utils.flops import train_flops_multiplier
 
     train_ips, eval_ips, state = bench_train(
-        batch_size=args.batch_size, remat_policy=args.remat_policy
+        batch_size=args.batch_size, remat_policy=args.remat_policy,
+        fused_adamw=not args.no_fused_adamw,
     )
     stats = bench_streaming(state)
     del state

@@ -60,8 +60,15 @@ def make_pool(n: int, seed: int):
 
 def main():
     t0 = time.time()
-    tr_images, tr_labels = make_pool(TRAIN_IMAGES, seed=0)
-    va_images, va_labels = make_pool(VAL_IMAGES, seed=10_000)
+    cache = os.environ.get("DEMO_POOL_CACHE", "")
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        tr_images, tr_labels = z["tr_images"], z["tr_labels"]
+        va_images, va_labels = z["va_images"], z["va_labels"]
+        assert tr_images.shape == (TRAIN_IMAGES, CANVAS, CANVAS, 3)
+    else:
+        tr_images, tr_labels = make_pool(TRAIN_IMAGES, seed=0)
+        va_images, va_labels = make_pool(VAL_IMAGES, seed=10_000)
     print(f"pools built in {time.time()-t0:.0f}s: train {tr_images.shape} "
           f"val {va_images.shape}", file=sys.stderr, flush=True)
 

@@ -98,3 +98,75 @@ def test_weight_decay_mask():
     assert float(jnp.abs(up["blocks"]["ln1"]["scale"]).sum()) == 0
     assert float(jnp.abs(up["cls_token"]).sum()) == 0
     assert float(jnp.abs(up["head"]["bias"]).sum()) == 0
+
+
+def test_fused_adamw_matches_optax():
+    """fused_adamw_update (jnp fallback path here; the Pallas kernel is the
+    same math, pinned on TPU by test_pallas_kernels) must reproduce the
+    optax chain step-for-step: params, moments, counts, and a mid-run
+    plateau lr_scale change."""
+    import optax
+
+    from arsvt_tpu.train.optim import fused_adamw_update
+
+    cfg = TrainConfig(
+        schedule="cosine", warmup_steps=3, total_steps=20,
+        learning_rate=3e-3, weight_decay=0.05, grad_clip_norm=0.1,
+    )
+    opt = make_optimizer(cfg)
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+        "b": jnp.asarray(rng.normal(size=(16,)), jnp.float32),
+    }
+    p_ref, s_ref = params, opt.init(params)
+    p_fus, s_fus = params, opt.init(params)
+    for step in range(6):
+        grads = {
+            "w": jnp.asarray(rng.normal(size=(8, 16)) * (1 + step),
+                             jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(16,)), jnp.float32),
+        }
+        if step == 3:  # plateau controller kicks mid-run
+            s_ref = set_lr_scale(s_ref, 0.7)
+            s_fus = set_lr_scale(s_fus, 0.7)
+        updates, s_ref = opt.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        p_fus, s_fus, _ = fused_adamw_update(cfg, grads, s_fus, p_fus)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_fus[k]), np.asarray(p_ref[k]), rtol=2e-6, atol=1e-7
+        )
+    ref_leaves = jax.tree_util.tree_leaves(s_ref)
+    fus_leaves = jax.tree_util.tree_leaves(s_fus)
+    assert jax.tree_util.tree_structure(s_ref) == \
+        jax.tree_util.tree_structure(s_fus)
+    for a, b in zip(ref_leaves, fus_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-6, atol=1e-7,
+        )
+
+
+def test_fused_adamw_kernel_interpret_matches_jnp():
+    """The Pallas kernel itself (interpret mode — elementwise, cheap on
+    CPU) against the identical-math jnp fallback, both wd variants."""
+    from arsvt_tpu.ops.pallas.fused_adamw import (
+        _adamw_leaf_jnp,
+        _adamw_leaf_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    shape = (4, 520, 128)  # rows=2080 exercises a non-trivial block split
+    mk = lambda: jnp.asarray(rng.normal(size=shape), jnp.float32)  # noqa
+    g, m, v, p = mk(), jnp.abs(mk()) * 1e-2, jnp.abs(mk()) * 1e-4, mk()
+    scalars = jnp.asarray([0.5, 0.1, 0.001, 3e-4], jnp.float32)
+    for wd in (0.0, 0.05):
+        out_k = _adamw_leaf_pallas(scalars, g, m, v, p, b1=0.9, b2=0.999,
+                                   eps=1e-8, wd=wd, interpret=True)
+        out_j = _adamw_leaf_jnp(scalars, g, m, v, p, b1=0.9, b2=0.999,
+                                eps=1e-8, wd=wd)
+        for a, b in zip(out_k, out_j):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )

@@ -217,3 +217,22 @@ def test_distillation_validation_errors():
         make_classifier_step_fns(cfg)  # vit_test_8_32 has no DIST token
     with pytest.raises(ValueError, match="distill_teacher"):
         make_classifier_step_fns(cfg.with_overrides(preset="deit_test_8_32"))
+
+
+def test_fused_adamw_step_wiring(cpu_mesh):
+    """cfg.fused_adamw=True drives the whole train step (classifier); the
+    state stays optax-chain-shaped so checkpoints interoperate (math parity
+    is pinned in test_config_optim.py::test_fused_adamw_matches_optax)."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=3, fused_adamw=True
+    )
+    init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh=cpu_mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+    batches = synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0
+    )
+    rng = jax.random.PRNGKey(1)
+    for batch in itertools.islice(batches, 3):
+        state, metrics = train_step(state, shard_batch(batch, cpu_mesh), rng)
+    assert int(state["step"]) == 3
+    assert np.isfinite(float(metrics["loss"]))
