@@ -160,9 +160,7 @@ def _fwd(q, k, v, *, scale, kv_len, block_b, interpret=False,
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_attn_compiler_params(),
         interpret=interpret,
     )(*operands)
     return out, lse
@@ -262,9 +260,7 @@ def _bwd_call(q, k, v, o, do, lse, *, scale, kv_len, block_b,
             jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_attn_compiler_params(),
         interpret=interpret,
     )(*operands)
 
@@ -278,12 +274,31 @@ def _pick_block_b(b: int, sq: int, sk: int) -> int:
     # shapes (e.g. the DETR decoder's 10x144 cross-attention, where the
     # score budget alone would pick the whole batch and the backward's
     # per-iteration fp32 temps blow the 16 MB scoped-vmem stack)
-    budget = int(2.5 * 1024 * 1024)
-    per_item = sq * sk * 4
-    bb = max(1, min(budget // max(per_item, 1), 32))
+    import os
+
+    override = os.environ.get("ARSVT_ATTN_BLOCK_B")  # tuning experiments
+    if override:
+        bb = max(1, min(int(override), b))
+    else:
+        budget = int(2.5 * 1024 * 1024)
+        per_item = sq * sk * 4
+        bb = max(1, min(budget // max(per_item, 1), 32))
     while b % bb:
         bb -= 1
     return bb
+
+
+def _attn_compiler_params():
+    """Shared CompilerParams for the attention kernels; ARSVT_ATTN_VMEM_MB
+    raises Mosaic's 16 MB scoped-VMEM default for block-size experiments
+    (the chip has 128 MB of VMEM)."""
+    import os
+
+    mb = os.environ.get("ARSVT_ATTN_VMEM_MB")
+    kw = {"dimension_semantics": ("parallel", "parallel")}
+    if mb:
+        kw["vmem_limit_bytes"] = int(mb) * 1024 * 1024
+    return pltpu.CompilerParams(**kw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -605,9 +620,7 @@ def _fwd_direct(qkv_flat, num_heads, *, interpret=False,
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
             jax.ShapeDtypeStruct((b, num_heads, 1, s), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_attn_compiler_params(),
         interpret=interpret,
     )(*operands)
     return out, lse
@@ -704,9 +717,7 @@ def _bwd_direct(qkv_flat, out, dout, lse, num_heads, *, interpret=False,
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_attn_compiler_params(),
         interpret=interpret,
     )(*operands)
 
@@ -791,9 +802,7 @@ def _fwd_direct_savep(qkv_flat, num_heads, *, interpret=False,
             jax.ShapeDtypeStruct((b, s, d), qkv_flat.dtype),
             jax.ShapeDtypeStruct((b, num_heads, s, s), jnp.bfloat16),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_attn_compiler_params(),
         interpret=interpret,
     )(*operands)
     return out, probs
