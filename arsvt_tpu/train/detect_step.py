@@ -132,7 +132,8 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
             from arsvt_tpu.train.optim import fused_adamw_update
 
             params, opt_state, grad_norm = fused_adamw_update(
-                cfg, grads, state["opt_state"], state["params"]
+                cfg, grads, state["opt_state"], state["params"],
+                mesh=mesh,
             )
         else:
             updates, opt_state = optimizer.update(

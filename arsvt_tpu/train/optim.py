@@ -134,14 +134,22 @@ def _find_state(opt_state, cls):
     return hits[0]
 
 
-def fused_adamw_update(cfg: TrainConfig, grads, opt_state, params):
+def fused_adamw_update(cfg: TrainConfig, grads, opt_state, params,
+                       mesh=None):
     """One-pass AdamW: returns (new_params, new_opt_state, grad_norm).
 
     Replaces `optimizer.update` + `optax.apply_updates` in the train step
     when cfg.fused_adamw. Scalars (clip factor from the global grad norm,
     bias corrections, schedule(count)·lr_scale step size) are computed here
     and enter the per-leaf kernel via SMEM; the global grad norm is
-    returned so the step's metrics reuse it instead of re-reducing."""
+    returned so the step's metrics reuse it instead of re-reducing.
+
+    The Pallas kernel runs when params are device-local or replicated
+    (single chip / pure DP — grads and params are identical on every
+    device after the pmean). Under tensor parallelism (mesh model dim > 1,
+    weight leaves sharded along `model`) the identical-math jnp path is
+    used instead: the update is elementwise, XLA shards it for free, while
+    a pallas_call on model-sharded leaves would force all-gathers."""
     import optax._src.transform as _t
 
     from arsvt_tpu.ops.dispatch import use_pallas
@@ -170,7 +178,10 @@ def fused_adamw_update(cfg: TrainConfig, grads, opt_state, params):
     ])
 
     mask = _wd_mask(params)
-    kernel_on = use_pallas()
+    tp = mesh is not None and dict(
+        zip(mesh.axis_names, mesh.devices.shape)
+    ).get("model", 1) > 1
+    kernel_on = use_pallas() and not tp
     outs = jax.tree_util.tree_map(
         lambda g, m, v, p, decayed: adamw_leaf(
             scalars, g, m, v, p, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8,

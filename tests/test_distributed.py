@@ -158,3 +158,32 @@ def test_dryrun_multichip_entry_driver_conditions():
         f"rc={r.returncode}\nstdout: {r.stdout[-500:]}\n"
         f"stderr: {r.stderr[-2000:]}"
     )
+
+
+def test_dp_tp_fused_adamw_matches_single_device():
+    """fused_adamw under DP×TP (jnp path — under TP the Pallas kernel is
+    bypassed by design, optim.py::fused_adamw_update) must produce the
+    same step as single-device."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False, fused_adamw=True)
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=7)
+    )
+    rng = jax.random.PRNGKey(0)
+
+    results = []
+    for mesh in [None, mesh_of(2, 4)]:
+        init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh)
+        state = init_fn(jax.random.fold_in(rng, 0xA11))
+        b = shard_batch(batch, mesh) if mesh is not None else batch
+        for _ in range(2):
+            state, m = train_step(state, b, rng)
+        results.append((float(m["loss"]), state))
+
+    base_loss, base_state = results[0]
+    loss, state = results[1]
+    np.testing.assert_allclose(loss, base_loss, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(base_state["params"]),
+        jax.tree_util.tree_leaves(state["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
