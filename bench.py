@@ -22,6 +22,12 @@ vs_baseline = value / (5 * 250); >= 1.0 means the 5x target is met.
 
 Extra sub-metrics (eval throughput, p50 single-image classify latency) go to
 stderr; the driver contract is exactly one JSON line on stdout.
+
+The headline reuses one in-memory batch (chip-bound images/sec). The
+end-to-end DATA-FED rate (JPEGs on disk → C++ decode pool → prefetch →
+uint8 H2D → this train step) is measured separately by
+benchmarks/datafed_bench.py — results + the host-core starvation model in
+PERFORMANCE.md "data-fed end-to-end throughput".
 """
 
 from __future__ import annotations

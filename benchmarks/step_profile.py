@@ -43,7 +43,10 @@ from arsvt_tpu.train.config import TrainConfig, resolve_backbone
 from arsvt_tpu.train.optim import make_optimizer
 from arsvt_tpu.train.train_step import make_classifier_step_fns
 
-BS = 256
+import os as _os
+
+BS = int(_os.environ.get("PROFILE_BS", "256"))
+_REMAT = _os.environ.get("PROFILE_REMAT", "all_but_mlp")  # "none" disables
 STEPS = 15
 
 
@@ -62,7 +65,7 @@ def timeit(fn, *args, steps=STEPS, sync):
 def main():
     cfg = TrainConfig(preset="vit_base_16_224", batch_size=BS, bf16=True,
                       augment="none", canvas=224, total_steps=10**6,
-                      remat=True, remat_policy="all_but_mlp")
+                      remat=_REMAT != "none", remat_policy=_REMAT)
     bb = resolve_backbone(cfg)
     policy = DEFAULT_POLICY
     params = init_image_classifier(jax.random.PRNGKey(0), bb, 6)
@@ -78,7 +81,7 @@ def main():
         cp = policy.cast_to_compute(p)
         logits = apply_image_classifier(
             cp, images.astype(policy.compute_dtype), bb, 6,
-            train=True, rng=rng, remat=True,
+            train=True, rng=rng, remat=cfg.remat,
             remat_policy=cfg.remat_policy)
         return softmax_cross_entropy(logits, labels, num_classes=6)
 

@@ -236,3 +236,36 @@ def test_fused_adamw_step_wiring(cpu_mesh):
         state, metrics = train_step(state, shard_batch(batch, cpu_mesh), rng)
     assert int(state["step"]) == 3
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_adamw_checkpoint_interop(tmp_path, cpu_mesh):
+    """State layout parity claim (optim.py): a checkpoint written under the
+    fused AdamW path restores and continues under the optax chain, and
+    vice versa — the optimizer state tree is identical."""
+    base = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=4, checkpoint_every=2, eval_every=10**9,
+        log_every=10**9,
+    )
+    for first, then in ((True, False), (False, True)):
+        ckdir = str(tmp_path / f"ck_{int(first)}")
+        cfg = base.with_overrides(fused_adamw=first, checkpoint_dir=ckdir)
+        tr = Trainer(cfg, mesh=cpu_mesh)
+        tr.init_state()
+        batches = synthetic_classification_batches(
+            batch_size=cfg.batch_size, image_size=32, seed=3
+        )
+        for batch in itertools.islice(batches, 2):
+            b = shard_batch(batch, cpu_mesh)
+            tr.state, m = tr.train_step(tr.state, b, jax.random.PRNGKey(1))
+        tr.ckpt.save(2, jax.device_get(tr.state))
+        tr.ckpt.wait()
+
+        tr2 = Trainer(cfg.with_overrides(fused_adamw=then), mesh=cpu_mesh)
+        assert tr2.maybe_resume() == 2
+        for batch in itertools.islice(batches, 2):
+            b = shard_batch(batch, cpu_mesh)
+            tr2.state, m = tr2.train_step(
+                tr2.state, b, jax.random.PRNGKey(1)
+            )
+        assert int(tr2.state["step"]) == 4
+        assert np.isfinite(float(m["loss"]))
