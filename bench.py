@@ -242,6 +242,52 @@ def bench_vit_large(steps: int = 5):
     return ips
 
 
+def bench_vit_tiny_cpu(steps: int = 5, batch: int = 8):
+    """BASELINE config #1: ViT-Tiny/16@224 inference+eval on the HOST CPU
+    (batch 8) — the config matrix's no-accelerator deployment row. Runs the
+    jnp reference ops (Pallas disabled) pinned to the CPU backend; fp32,
+    the natural CPU inference dtype."""
+    import os
+
+    from arsvt_tpu.models.classifier import (
+        apply_image_classifier,
+        init_image_classifier,
+    )
+    from arsvt_tpu.models.registry import get_preset
+
+    cfg = get_preset("vit_tiny_16_224")
+    old = os.environ.get("ARSVT_DISABLE_PALLAS")
+    os.environ["ARSVT_DISABLE_PALLAS"] = "1"
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_image_classifier(
+                jax.random.PRNGKey(0), cfg, num_classes=6
+            )
+            fwd = jax.jit(
+                lambda p, x: apply_image_classifier(p, x, cfg, 6)
+            )
+            imgs = jnp.asarray(
+                np.random.default_rng(0)
+                .uniform(size=(batch, 224, 224, 3))
+                .astype(np.float32)
+            )
+            np.asarray(fwd(params, imgs))  # compile + warmup
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fwd(params, imgs)
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+    finally:
+        if old is None:
+            os.environ.pop("ARSVT_DISABLE_PALLAS", None)
+        else:
+            os.environ["ARSVT_DISABLE_PALLAS"] = old
+    ips = batch * steps / dt
+    log(f"vit_tiny CPU inference (config #1, batch {batch}): {ips:.1f} "
+        f"img/s, {dt / steps * 1e3 / batch:.1f} ms/img")
+    return ips
+
+
 def main():
     import argparse
 
@@ -252,8 +298,8 @@ def main():
                     help="optax-chain optimizer instead of the one-pass "
                          "Pallas AdamW")
     ap.add_argument("--fast", action="store_true",
-                    help="headline config only (skip BASELINE configs #3/#4 "
-                         "and the detector)")
+                    help="headline config only (skip BASELINE configs "
+                         "#1/#3/#4 and the detector)")
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -308,6 +354,15 @@ def main():
         except Exception as e:
             log(f"vit_large bench failed: {str(e)[:200]}")
             result["vit_large_384_images_per_sec"] = None
+        try:
+            # config #1 is CPU inference; it shares this host's single core
+            # with nothing else at bench time
+            result["vit_tiny_cpu_infer_images_per_sec"] = round(
+                bench_vit_tiny_cpu(), 1
+            )
+        except Exception as e:
+            log(f"vit_tiny cpu bench failed: {str(e)[:200]}")
+            result["vit_tiny_cpu_infer_images_per_sec"] = None
     print(json.dumps(result))
 
 
