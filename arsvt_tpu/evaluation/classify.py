@@ -24,6 +24,7 @@ from arsvt_tpu.objectives.classification import confusion_matrix
 def evaluate_classifier(
     params, batches: Iterator[dict], backbone_cfg, num_classes: int,
     *, compute_dtype=jnp.bfloat16, normalize_inputs: bool = False,
+    quantize: str | None = None,
 ) -> dict:
     """Full eval sweep -> {top1, per_class_accuracy, confusion_matrix, n}.
 
@@ -31,7 +32,17 @@ def evaluate_classifier(
     `cfg.augment != "none"` — crop_flip/randaugment training normalizes
     (ImageNet stats) inside the step, so eval must too (train_step.py's
     eval_step applies the same rule; this standalone API mirrors it).
+
+    `quantize="int8"` runs the W8A8 backbone (models/quantized.py): int8
+    MXU matmuls with per-token activation scales — the high-throughput
+    serving path. None (default) is the exact bf16/fp32 forward.
     """
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize == "int8":
+        from arsvt_tpu.models.quantized import quantize_image_classifier
+
+        params = quantize_image_classifier(params, backbone_cfg)
 
     @jax.jit
     def step(params, images, labels):
@@ -44,10 +55,19 @@ def evaluate_classifier(
             x = jax.vmap(
                 lambda im: eval_preprocess(im, size=backbone_cfg.image_size)
             )(x)
-        logits = apply_image_classifier(
-            params, x.astype(compute_dtype), backbone_cfg,
-            num_classes,
-        )
+        if quantize == "int8":
+            from arsvt_tpu.models.quantized import (
+                apply_image_classifier_int8,
+            )
+
+            logits = apply_image_classifier_int8(
+                params, x.astype(compute_dtype), backbone_cfg, num_classes,
+            )
+        else:
+            logits = apply_image_classifier(
+                params, x.astype(compute_dtype), backbone_cfg,
+                num_classes,
+            )
         preds = jnp.argmax(logits, axis=-1)
         return (
             jnp.sum((preds == labels).astype(jnp.int32)),
@@ -101,12 +121,21 @@ class StreamingClassifier:
 
     def __init__(self, params, backbone_cfg, num_classes: int,
                  *, compute_dtype=jnp.bfloat16, preprocess=None,
-                 normalize_inputs: bool = True):
+                 normalize_inputs: bool = True, quantize: str | None = None):
+        """`quantize="int8"`: serve the W8A8 backbone (models/quantized.py)
+        — int8 MXU matmuls, 4x smaller weights; parity pinned by
+        tests/test_quant.py."""
         self._cfg = backbone_cfg
         self._n = num_classes
         self._preprocess = preprocess
         self._normalize_inputs = normalize_inputs
         self._latencies: list[float] = []
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize == "int8":
+            from arsvt_tpu.models.quantized import quantize_image_classifier
+
+            params = quantize_image_classifier(params, backbone_cfg)
 
         @jax.jit
         def infer(params, image):
@@ -117,10 +146,20 @@ class StreamingClassifier:
                 from arsvt_tpu.data.augment import normalize
 
                 x = normalize(x)
-            logits = apply_image_classifier(
-                params, x[None].astype(compute_dtype),
-                backbone_cfg, num_classes,
-            )
+            if quantize == "int8":
+                from arsvt_tpu.models.quantized import (
+                    apply_image_classifier_int8,
+                )
+
+                logits = apply_image_classifier_int8(
+                    params, x[None].astype(compute_dtype),
+                    backbone_cfg, num_classes,
+                )
+            else:
+                logits = apply_image_classifier(
+                    params, x[None].astype(compute_dtype),
+                    backbone_cfg, num_classes,
+                )
             probs = jax.nn.softmax(logits[0].astype(jnp.float32))
             return jnp.argmax(probs), probs
 

@@ -43,8 +43,13 @@ class InferenceServer:
 
     # ------------------------------------------------------------ factory
     @classmethod
-    def from_checkpoint(cls, checkpoint_dir: str, *, step: int | None = None):
-        """Build the right streaming engine from a training checkpoint."""
+    def from_checkpoint(cls, checkpoint_dir: str, *, step: int | None = None,
+                        quantize: str | None = None):
+        """Build the right streaming engine from a training checkpoint.
+
+        `quantize="int8"` (classify checkpoints only) serves the W8A8
+        backbone — int8 MXU matmuls, 4x smaller weights in device memory
+        (models/quantized.py)."""
         import orbax.checkpoint as ocp
 
         from arsvt_tpu.train.config import TrainConfig
@@ -73,6 +78,10 @@ class InferenceServer:
             from arsvt_tpu.evaluation.classify import StreamingDetector
             from arsvt_tpu.train.config import resolve_detector
 
+            if quantize is not None:
+                raise ValueError(
+                    "quantize is supported for classify checkpoints only"
+                )
             return cls(detector=StreamingDetector(
                 params, resolve_detector(cfg),
                 normalize_inputs=normalize_inputs,
@@ -82,7 +91,7 @@ class InferenceServer:
 
         return cls(classifier=StreamingClassifier(
             params, resolve_backbone(cfg), cfg.num_classes,
-            normalize_inputs=normalize_inputs,
+            normalize_inputs=normalize_inputs, quantize=quantize,
         ))
 
     # ----------------------------------------------------------- handlers
@@ -215,9 +224,13 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--int8", action="store_true",
+                   help="serve the W8A8 quantized backbone (classify "
+                        "checkpoints; int8 MXU matmuls, 4x smaller weights)")
     args = p.parse_args(argv)
     server = InferenceServer.from_checkpoint(
-        args.checkpoint_dir, step=args.step
+        args.checkpoint_dir, step=args.step,
+        quantize="int8" if args.int8 else None,
     )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /classify|/detect, GET /healthz|/stats)")
