@@ -231,10 +231,13 @@ class StreamingDetector:
 
     def __init__(self, params, detector_cfg, *, compute_dtype=jnp.bfloat16,
                  conf_threshold: float = 0.5, nms_threshold: float = 0.5,
-                 normalize_inputs: bool = True):
+                 normalize_inputs: bool = True, quantize: str | None = None):
         """`normalize_inputs` must match the training contract: True for
         checkpoints trained with augment="detection" (the pipeline
-        normalizes), False for augment="none" (raw [0,1] inputs)."""
+        normalizes), False for augment="none" (raw [0,1] inputs).
+
+        `quantize="int8"`: W8A8 backbone, fp DETR head
+        (models/quantized.py)."""
         from arsvt_tpu.data.augment import normalize
         from arsvt_tpu.evaluation.detect import post_process
         from arsvt_tpu.models.detector import apply_detector
@@ -242,6 +245,12 @@ class StreamingDetector:
         self._cfg = detector_cfg
         self._latencies: list[float] = []
         size = detector_cfg.backbone.image_size
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize == "int8":
+            from arsvt_tpu.models.quantized import quantize_detector
+
+            params = quantize_detector(params, detector_cfg)
 
         @jax.jit
         def infer(params, image):
@@ -250,10 +259,18 @@ class StreamingDetector:
             x = to_unit_float(image, jnp.float32)
             if normalize_inputs:
                 x = normalize(x)
-            out = apply_detector(
-                params, x[None].astype(compute_dtype),
-                detector_cfg, train=False,
-            )
+            if quantize == "int8":
+                from arsvt_tpu.models.quantized import apply_detector_int8
+
+                out = apply_detector_int8(
+                    params, x[None].astype(compute_dtype), detector_cfg,
+                    compute_dtype=compute_dtype,
+                )
+            else:
+                out = apply_detector(
+                    params, x[None].astype(compute_dtype),
+                    detector_cfg, train=False,
+                )
             return post_process(
                 out["class_logits"], out["boxes_cxcywh"],
                 conf_threshold=conf_threshold, nms_threshold=nms_threshold,

@@ -31,15 +31,12 @@ from arsvt_tpu.ops.patch_embed import extract_patches
 from arsvt_tpu.ops.quant import quant_dense, quantize_weight
 
 
-def quantize_image_classifier(params, cfg: BackboneConfig):
-    """Classifier params pytree -> quantized-inference pytree.
+def quantize_backbone(bb, cfg: BackboneConfig):
+    """Backbone params subtree -> quantized-inference subtree.
 
     Matmul kernels become `{"q": int8, "scale": fp32-per-out-channel}`;
-    every other leaf is carried unchanged. The classifier head stays fp
-    (a (D, num_classes) matmul is ~0 cost and logits are the one place
-    quantization error has nowhere to wash out).
+    every other leaf is carried unchanged.
     """
-    bb = params["backbone"]
     blocks = bb["blocks"]
 
     def qk(leaf):  # (in, out) or (depth, in, out): contraction is axis -2
@@ -80,7 +77,36 @@ def quantize_image_classifier(params, cfg: BackboneConfig):
     }
     if cfg.distilled:
         qbackbone["dist_token"] = bb["dist_token"]
-    return {"backbone": qbackbone, "classifier": params["classifier"]}
+    return qbackbone
+
+
+def quantize_image_classifier(params, cfg: BackboneConfig):
+    """Classifier params pytree -> quantized-inference pytree.
+
+    The backbone quantizes (`quantize_backbone`); the classifier head
+    stays fp (a (D, num_classes) matmul is ~0 cost and logits are the one
+    place quantization error has nowhere to wash out).
+    """
+    return {
+        "backbone": quantize_backbone(params["backbone"], cfg),
+        "classifier": params["classifier"],
+    }
+
+
+def quantize_detector(params, cfg):
+    """Detector params pytree -> quantized-inference pytree.
+
+    `cfg` is a models.detector.DetectorConfig. Only the backbone (the
+    FLOPs- and weight-dominant part at S=197 vs Q<=100 queries) quantizes;
+    the DETR decoder head and triplet projection stay fp — box regression
+    is the most quantization-sensitive output and the head is a rounding
+    error of the total compute.
+    """
+    return {
+        "backbone": quantize_backbone(params["backbone"], cfg.backbone),
+        "detr": params["detr"],
+        "triplet_proj": params["triplet_proj"],
+    }
 
 
 def apply_backbone_int8(qparams, images, cfg: BackboneConfig,
@@ -147,3 +173,23 @@ def apply_image_classifier_int8(qparams, images, cfg: BackboneConfig,
         num_classes=num_classes, distilled=cfg.distilled
     )
     return apply_classifier(qparams["classifier"], tokens, head_cfg)
+
+
+def apply_detector_int8(qparams, images, cfg,
+                        *, compute_dtype=jnp.bfloat16):
+    """Quantized detector eval: int8 backbone + fp DETR head.
+
+    `cfg` is a models.detector.DetectorConfig; returns the same outputs
+    dict as `apply_detector(train=False)` — {'class_logits', 'boxes_cxcywh'}.
+    """
+    from arsvt_tpu.models.heads import apply_detr_head
+
+    tokens = apply_backbone_int8(
+        qparams["backbone"], images, cfg.backbone,
+        compute_dtype=compute_dtype,
+    )
+    memory = tokens[:, cfg.backbone.num_special_tokens:]
+    return apply_detr_head(
+        qparams["detr"], memory, cfg.head, cfg.backbone.embed_dim,
+        train=False,
+    )

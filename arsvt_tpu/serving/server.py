@@ -78,13 +78,9 @@ class InferenceServer:
             from arsvt_tpu.evaluation.classify import StreamingDetector
             from arsvt_tpu.train.config import resolve_detector
 
-            if quantize is not None:
-                raise ValueError(
-                    "quantize is supported for classify checkpoints only"
-                )
             return cls(detector=StreamingDetector(
                 params, resolve_detector(cfg),
-                normalize_inputs=normalize_inputs,
+                normalize_inputs=normalize_inputs, quantize=quantize,
             ))
         from arsvt_tpu.evaluation.classify import StreamingClassifier
         from arsvt_tpu.train.config import resolve_backbone

@@ -158,6 +158,70 @@ def test_evaluate_classifier_int8_option():
     assert out["top1"] >= 0.9, out["top1"]
 
 
+def _detector_fixture():
+    from arsvt_tpu.models.detector import init_detector
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+
+    cfg = DETECTOR_PRESETS["detector_test"]
+    params = init_detector(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        np.random.default_rng(11).uniform(size=(4, 32, 32, 3)), jnp.float32
+    )
+    return cfg, params, images
+
+
+def test_int8_detector_matches_fp32_forward():
+    from arsvt_tpu.models.detector import apply_detector
+    from arsvt_tpu.models.quantized import (
+        apply_detector_int8,
+        quantize_detector,
+    )
+
+    cfg, params, images = _detector_fixture()
+    ref = apply_detector(params, images, cfg, train=False)
+    qparams = quantize_detector(params, cfg)
+    assert qparams["backbone"]["blocks"]["mlp"]["fc1"]["kernel"]["q"].dtype \
+        == jnp.int8
+    # head stays fp: same leaves object-identical
+    assert qparams["detr"] is params["detr"]
+    out = apply_detector_int8(qparams, images, cfg,
+                              compute_dtype=jnp.float32)
+    for k in ("class_logits", "boxes_cxcywh"):
+        r = np.asarray(ref[k])
+        o = np.asarray(out[k])
+        assert o.shape == r.shape
+        rel = np.linalg.norm(o - r) / max(np.linalg.norm(r), 1e-9)
+        assert rel < 0.1, (k, rel)
+    # the serving-relevant invariant: top-query class agreement
+    agree = float(np.mean(
+        np.asarray(ref["class_logits"]).argmax(-1)
+        == np.asarray(out["class_logits"]).argmax(-1)
+    ))
+    assert agree >= 0.9, agree
+
+
+def test_streaming_detector_int8_option():
+    from arsvt_tpu.evaluation.classify import StreamingDetector
+
+    cfg, params, images = _detector_fixture()
+    fp = StreamingDetector(params, cfg, normalize_inputs=False,
+                           conf_threshold=0.0, compute_dtype=jnp.float32)
+    q = StreamingDetector(params, cfg, normalize_inputs=False,
+                          conf_threshold=0.0, compute_dtype=jnp.float32,
+                          quantize="int8")
+    r_fp = fp._infer(fp._params, images[0])
+    r_q = q._infer(q._params, images[0])
+    assert set(r_fp.keys()) == set(r_q.keys())
+    assert r_q["boxes"].shape == r_fp["boxes"].shape
+    np.testing.assert_allclose(
+        np.asarray(r_q["boxes"]), np.asarray(r_fp["boxes"]), atol=0.05
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        StreamingDetector(params, cfg, quantize="fp4")
+
+
 def test_int8_forward_is_jittable():
     cfg, params, images = _classifier_fixture()
     qparams = quantize_image_classifier(params, cfg)
