@@ -201,6 +201,10 @@ class StreamingClassifier:
         )
         return idx, name, probs
 
+    @property
+    def image_size(self) -> int:
+        return self._cfg.image_size
+
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
         """Full sorter-loop step: JPEG decode → letterbox → rescale/
         normalize (inside the jitted forward) → classify (BASELINE config
@@ -282,6 +286,10 @@ class StreamingDetector:
         jax.device_get(
             infer(params, jnp.zeros((size, size, 3), jnp.float32))["valid"]
         )
+
+    @property
+    def image_size(self) -> int:
+        return self._size
 
     def detect_path(self, path: str) -> dict:
         t0 = time.perf_counter()

@@ -47,27 +47,13 @@ class InferenceServer:
                         quantize: str | None = None):
         """Build the right streaming engine from a training checkpoint.
 
-        `quantize="int8"` (classify checkpoints only) serves the W8A8
-        backbone — int8 MXU matmuls, 4x smaller weights in device memory
-        (models/quantized.py)."""
-        import orbax.checkpoint as ocp
+        `quantize="int8"` serves the W8A8 backbone — int8 MXU matmuls,
+        4x smaller weights in device memory (models/quantized.py). For
+        detect checkpoints the DETR head stays fp (box regression is the
+        quantization-sensitive output; the head is ~0 of the compute)."""
+        from arsvt_tpu.serving.loading import load_inference_bundle
 
-        from arsvt_tpu.train.config import TrainConfig
-        from arsvt_tpu.train.trainer import Trainer
-
-        mgr = ocp.CheckpointManager(checkpoint_dir)
-        step = step if step is not None else mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}")
-        cfg_json = mgr.restore(
-            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
-        )["config"]["train_config"]
-        mgr.close()
-        cfg = TrainConfig.from_json(cfg_json)
-        trainer = Trainer(cfg.with_overrides(checkpoint_dir=checkpoint_dir))
-        trainer.init_state()
-        trainer.state, _ = trainer.ckpt.restore(trainer.state, step=step)
-        params = trainer.state["params"]
+        params, cfg = load_inference_bundle(checkpoint_dir, step=step)
 
         # preprocessing contract rides with the checkpoint: training with
         # augment="none" feeds raw [0,1] images, every other mode ImageNet-
@@ -90,6 +76,21 @@ class InferenceServer:
             normalize_inputs=normalize_inputs, quantize=quantize,
         ))
 
+    @classmethod
+    def from_artifact(cls, artifact_path: str):
+        """Serve a StableHLO export artifact (serving/export.py) — no
+        model code, training config, or orbax on the serving box; the
+        task and preprocessing contract live inside the artifact."""
+        from arsvt_tpu.serving.artifact import (
+            ArtifactDetector,
+            load_artifact_engine,
+        )
+
+        engine = load_artifact_engine(artifact_path)
+        if isinstance(engine, ArtifactDetector):
+            return cls(detector=engine)
+        return cls(classifier=engine)
+
     # ----------------------------------------------------------- handlers
     def _decode(self, body: bytes):
         from PIL import Image
@@ -107,7 +108,7 @@ class InferenceServer:
         t0 = time.perf_counter()
         # rescale + normalization happen inside the classifier's jitted
         # forward, per its normalize_inputs contract
-        img, _ = letterbox(self._decode(body), self._clf._cfg.image_size)
+        img, _ = letterbox(self._decode(body), self._clf.image_size)
         with self._lock:
             idx, name, probs = self._clf(jnp.asarray(img))
         return {
@@ -216,18 +217,31 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description="arsvt_tpu inference server")
-    p.add_argument("--checkpoint-dir", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint-dir",
+                     help="serve from an orbax training checkpoint")
+    src.add_argument("--artifact",
+                     help="serve a StableHLO export artifact "
+                          "(python -m arsvt_tpu.serving.export)")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--int8", action="store_true",
-                   help="serve the W8A8 quantized backbone (classify "
-                        "checkpoints; int8 MXU matmuls, 4x smaller weights)")
+                   help="serve the W8A8 quantized backbone (classify and "
+                        "detect; int8 MXU matmuls, 4x smaller weights); "
+                        "with --artifact, quantization is baked at export "
+                        "time instead")
     args = p.parse_args(argv)
-    server = InferenceServer.from_checkpoint(
-        args.checkpoint_dir, step=args.step,
-        quantize="int8" if args.int8 else None,
-    )
+    if args.artifact:
+        if args.int8 or args.step is not None:
+            p.error("--int8/--step apply to --checkpoint-dir; with "
+                    "--artifact they are baked in at export time")
+        server = InferenceServer.from_artifact(args.artifact)
+    else:
+        server = InferenceServer.from_checkpoint(
+            args.checkpoint_dir, step=args.step,
+            quantize="int8" if args.int8 else None,
+        )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /classify|/detect, GET /healthz|/stats)")
     server.serve(host=args.host, port=args.port)
