@@ -320,3 +320,120 @@ def from_reference_detector_state(state: dict, det_cfg) -> dict:
             "bias": jnp.asarray(state["triplet_projection.bias"]),
         }
     return out
+
+
+# ------------------------------------------------------------------- CLI
+
+
+def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
+                            train_preset: str = "vit_base_finetune",
+                            source: str = "auto",
+                            overrides: dict | None = None) -> dict:
+    """torch weights file → a ready orbax training checkpoint (step 0).
+
+    The migration entry point: point it at an HF/timm ViT state dict (or a
+    checkpoint saved by the reference's own train.py) and get a checkpoint
+    directory every other surface consumes directly — `train.cli --resume`
+    fine-tunes from it, `evaluation.cli` / `serving.server` /
+    `serving.export` serve it. Weights land in the fp32 master slots; the
+    optimizer state starts fresh (the reference's .pth optimizer state is
+    Adam-on-torch-layout and does not transfer).
+
+    `source="reference"` forces the reference DeiTObjectDetector layout
+    (needed because its backbone.* keys are timm-like); "auto" handles
+    HF/timm classifier backbones.
+    """
+    import jax
+
+    from arsvt_tpu.train.config import (
+        TRAIN_PRESETS,
+        resolve_backbone,
+        resolve_detector,
+    )
+    from arsvt_tpu.train.trainer import Trainer
+
+    cfg = TRAIN_PRESETS[train_preset].with_overrides(
+        checkpoint_dir=checkpoint_dir, **(overrides or {})
+    )
+    state_dict = load_torch_state(torch_state_path)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    params = state["params"]
+
+    if source == "reference" or (
+        source == "auto"
+        and any(k.startswith("detection_head.") for k in state_dict)
+    ):
+        if cfg.task != "detect":
+            raise ValueError(
+                f"{torch_state_path} is a reference detector checkpoint; "
+                f"use a detect train preset (got task={cfg.task!r})"
+            )
+        converted = from_reference_detector_state(
+            state_dict, resolve_detector(cfg)
+        )
+        imported = sorted(converted)
+    else:
+        converted = {
+            "backbone": from_pretrained_state(
+                state_dict, resolve_backbone(cfg)
+            )
+        }
+        imported = ["backbone"]  # head stays fresh — fine-tune scenario
+
+    def cast_like(init_leaf, new_leaf):
+        return jnp.asarray(new_leaf, dtype=init_leaf.dtype)
+
+    for key, tree in converted.items():
+        if key not in params:
+            raise KeyError(
+                f"converted component {key!r} not in {sorted(params)} — "
+                f"preset/task mismatch"
+            )
+        params[key] = jax.tree.map(cast_like, params[key], tree)
+
+    trainer.ckpt.save(0, state)
+    trainer.ckpt.wait()
+    return {
+        "checkpoint_dir": checkpoint_dir,
+        "train_preset": train_preset,
+        "task": cfg.task,
+        "imported": imported,
+        "source_keys": len(state_dict),
+    }
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+
+    p = argparse.ArgumentParser(
+        description="Import torch ViT weights (HF / timm / the reference "
+                    "repo's .pth) as an arsvt_tpu training checkpoint."
+    )
+    p.add_argument("--torch-state", required=True,
+                   help=".pth/.bin (torch.save) or .safetensors file")
+    p.add_argument("--checkpoint-dir", required=True,
+                   help="output orbax checkpoint directory")
+    p.add_argument("--train-preset", default="vit_base_finetune",
+                   choices=sorted(TRAIN_PRESETS))
+    p.add_argument("--source", default="auto",
+                   choices=("auto", "hf", "timm", "reference"))
+    p.add_argument("--num-classes", type=int, default=None)
+    args = p.parse_args(argv)
+    overrides = (
+        {"num_classes": args.num_classes}
+        if args.num_classes is not None else None
+    )
+    print(json.dumps(import_torch_checkpoint(
+        args.torch_state, args.checkpoint_dir,
+        train_preset=args.train_preset, source=args.source,
+        overrides=overrides,
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,14 +107,10 @@ def test_config_mismatch_raises():
         from_pretrained_state(state, cfg)
 
 
-def test_reference_detector_checkpoint_converts():
+def _reference_detector_state(det):
     """Synthetic state dict with the reference's exact key names/shapes
-    (DeiTObjectDetector, train.py:798-850) -> our detector pytree."""
-    from arsvt_tpu.models.convert import from_reference_detector_state
-    from arsvt_tpu.models.detector import apply_detector
-    from arsvt_tpu.models.registry import DETECTOR_PRESETS
-
-    det = DETECTOR_PRESETS["detector_test"]  # 32d/2L deit + 2L decoder
+    (DeiTObjectDetector, train.py:798-850), wrapped in the reference's
+    checkpoint envelope."""
     bb = det.backbone
     d, depth, mlp = bb.embed_dim, bb.depth, bb.mlp_dim
     q, hdepth, ffn, c = (det.head.num_queries, det.head.depth,
@@ -175,12 +171,23 @@ def test_reference_detector_checkpoint_converts():
 
     # the reference saves this envelope (train.py:1647-1654); conversion
     # must unwrap it and skip the non-tensor metadata
-    state = {
+    return {
         "model_state_dict": state,
         "epoch": 3,
         "val_loss": 0.5,
         "config": {"EMBED_DIM": 400},
     }
+
+
+def test_reference_detector_checkpoint_converts():
+    from arsvt_tpu.models.convert import from_reference_detector_state
+    from arsvt_tpu.models.detector import apply_detector
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+
+    det = DETECTOR_PRESETS["detector_test"]  # 32d/2L deit + 2L decoder
+    bb = det.backbone
+    q, c = det.head.num_queries, det.head.num_classes
+    state = _reference_detector_state(det)
     params = from_reference_detector_state(state, det)
     assert "dist_token" in params["backbone"]
     out, feats = apply_detector(
@@ -211,3 +218,85 @@ def test_load_torch_state_unwraps_reference_envelope(tmp_path):
     state = load_torch_state(path)
     assert set(state) == {"w"}
     assert state["w"].shape == (2, 3)
+
+
+def test_import_torch_checkpoint_hf_to_orbax(tmp_path):
+    """The migration CLI path: HF ViT weights file → orbax checkpoint that
+    the serving loader consumes, with the imported backbone actually in
+    the restored params (head fresh for fine-tune)."""
+    from transformers import ViTConfig, ViTModel
+
+    from arsvt_tpu.models.convert import (
+        from_pretrained_state,
+        import_torch_checkpoint,
+    )
+    from arsvt_tpu.models.registry import get_preset
+    from arsvt_tpu.serving.loading import load_inference_bundle
+
+    hf_cfg = ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(1)
+    model = ViTModel(hf_cfg, add_pooling_layer=False)
+    weights = str(tmp_path / "pytorch_model.bin")
+    torch.save(model.state_dict(), weights)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    manifest = import_torch_checkpoint(
+        weights, ckpt_dir, train_preset="smoke"
+    )
+    assert manifest["imported"] == ["backbone"]
+    assert manifest["task"] == "classify"
+
+    params, cfg = load_inference_bundle(ckpt_dir)
+    expect = from_pretrained_state(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()},
+        get_preset("vit_test_8_32"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["pos_embed"]),
+        np.asarray(expect["pos_embed"]), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["backbone"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(expect["blocks"]["attn"]["qkv"]["kernel"]), atol=1e-6,
+    )
+    assert "classifier" in params  # fresh head present
+
+
+def test_import_torch_checkpoint_reference_detector(tmp_path):
+    """Reference .pth detector → detect-task orbax checkpoint via the
+    forced source="reference" path."""
+    from arsvt_tpu.models.convert import import_torch_checkpoint
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+    from arsvt_tpu.serving.loading import load_inference_bundle
+
+    det = DETECTOR_PRESETS["detector_test"]
+    path = str(tmp_path / "best_vit_detector.pth")
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in
+         _reference_detector_state(det)["model_state_dict"].items()}
+        | {"epoch": 3},
+        path,
+    )
+    ckpt_dir = str(tmp_path / "ckpt")
+    manifest = import_torch_checkpoint(
+        path, ckpt_dir, train_preset="deit_detector_ref",
+        source="reference",
+        overrides={"preset": "detector_test", "batch_size": 2},
+    )
+    assert manifest["task"] == "detect"
+    assert "backbone" in manifest["imported"]
+    assert "detr" in manifest["imported"]
+
+    params, cfg = load_inference_bundle(ckpt_dir)
+    assert cfg.preset == "detector_test"
+    assert params["detr"]["queries"].shape == (det.head.num_queries,
+                                               det.backbone.embed_dim)
+
+    # classify preset on a detector file must fail loudly, not mis-import
+    with pytest.raises(ValueError, match="detect train preset"):
+        import_torch_checkpoint(
+            path, str(tmp_path / "ckpt2"), train_preset="smoke"
+        )
