@@ -59,6 +59,10 @@ class TrainConfig:
     bf16: bool = True
     mesh_data: int = -1
     mesh_model: int = 1
+    # split the global batch into k microbatches inside one jitted step
+    # (lax.scan) — bs512-class recipes at bs512/k activation memory; the
+    # reference cannot express large effective batches at all (train/accum.py)
+    grad_accum: int = 1
     remat: bool = False                      # jax.checkpoint the encoder blocks
     remat_policy: str = "full"  # "full"|"dots"|"names"|"all_but_mlp"|"mlp_tail"
     # one-pass Pallas AdamW (ops/pallas/fused_adamw.py); state layout and

@@ -124,9 +124,11 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, base_rng):
+        from arsvt_tpu.train.accum import accumulated_value_and_grad
+
         step_rng = jax.random.fold_in(base_rng, state["step"])
-        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, step_rng
+        (_, parts), grads = accumulated_value_and_grad(
+            loss_fn, state["params"], batch, step_rng, cfg.grad_accum, mesh,
         )
         if cfg.fused_adamw:
             from arsvt_tpu.train.optim import fused_adamw_update

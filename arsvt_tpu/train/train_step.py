@@ -182,11 +182,18 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         )
         return loss, {"accuracy": accuracy_top1(logits, hard_labels)}
 
+    def batch_loss(params, b, rng):
+        return loss_fn(params, b["image"], b["label"], rng)
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, base_rng):
+        from arsvt_tpu.train.accum import accumulated_value_and_grad
+
         step_rng = jax.random.fold_in(base_rng, state["step"])
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch["image"], batch["label"], step_rng
+        (loss, aux), grads = accumulated_value_and_grad(
+            batch_loss, state["params"],
+            {"image": batch["image"], "label": batch["label"]},
+            step_rng, cfg.grad_accum, mesh,
         )
         if cfg.fused_adamw:
             from arsvt_tpu.train.optim import fused_adamw_update

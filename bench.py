@@ -65,7 +65,8 @@ def vit_b_fwd_gflops():
 
 
 def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
-                remat_policy: str = "none", fused_adamw: bool = True):
+                remat_policy: str = "none", fused_adamw: bool = True,
+                grad_accum: int = 1):
     from arsvt_tpu.train.config import TrainConfig
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
@@ -79,7 +80,7 @@ def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
         preset="vit_base_16_224", batch_size=batch_size, bf16=True,
         augment="crop_flip", canvas=256, total_steps=10**6,
         remat=remat_policy != "none", remat_policy=remat_policy,
-        fused_adamw=fused_adamw,
+        fused_adamw=fused_adamw, grad_accum=grad_accum,
     )
     init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))

@@ -269,3 +269,112 @@ def test_fused_adamw_checkpoint_interop(tmp_path, cpu_mesh):
             )
         assert int(tr2.state["step"]) == 4
         assert np.isfinite(float(m["loss"]))
+
+
+def test_grad_accum_equivalence_classifier():
+    """grad_accum=4 == accum=1 exactly (per-sample-mean loss decomposes;
+    augment/mixup/dropout off so the per-microbatch rng fold is unused)."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False)
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=3)
+    )
+    rng = jax.random.PRNGKey(0)
+
+    init_fn, step1, _ = make_classifier_step_fns(cfg, mesh=None)
+    s1 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s1, m1 = step1(s1, batch, rng)
+
+    _, step4, _ = make_classifier_step_fns(
+        cfg.with_overrides(grad_accum=4), mesh=None
+    )
+    s4 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s4, m4 = step4(s4, batch, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s4["params"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="accumulated update differs from full-batch update",
+        )
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False, grad_accum=3)
+    _, step, _ = make_classifier_step_fns(cfg, mesh=None)
+    init_fn, _, _ = make_classifier_step_fns(cfg, mesh=None)
+    state = init_fn(jax.random.PRNGKey(0))
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=0)
+    )
+    with pytest.raises(ValueError, match="must divide the batch dim"):
+        step(state, batch, jax.random.PRNGKey(0))
+
+
+def test_grad_accum_equivalence_detector():
+    """Detector accum=2 == accum=1 when every image carries the same box
+    count (the num_boxes normalizer then decomposes exactly); triplet off
+    because batch-hard mining is deliberately per-microbatch under accum."""
+    from arsvt_tpu.train.detect_step import make_detector_step_fns
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        preset="detector_test", task="detect", batch_size=8,
+        max_objects=4, bf16=False, w_triplet=0.0,
+    )
+    rng_np = np.random.default_rng(5)
+    B, M = 8, 4
+    boxes = np.zeros((B, M, 4), np.float32)
+    for i in range(B):
+        for j in range(2):  # exactly 2 valid boxes per image
+            x0, y0 = rng_np.uniform(0.05, 0.5, 2)
+            boxes[i, j] = [x0, y0, x0 + 0.3, y0 + 0.3]
+    batch = {
+        "image": rng_np.uniform(0, 1, (B, 32, 32, 3)).astype(np.float32),
+        "boxes": boxes,
+        "labels": rng_np.integers(0, 6, (B, M)).astype(np.int32),
+        "mask": np.tile(np.array([1, 1, 0, 0], bool), (B, 1)),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    init_fn, step1, _ = make_detector_step_fns(cfg, mesh=None)
+    s1 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s1, m1 = step1(s1, batch, rng)
+
+    _, step2, _ = make_detector_step_fns(
+        cfg.with_overrides(grad_accum=2), mesh=None
+    )
+    s2 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s2, m2 = step2(s2, batch, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_grad_accum_under_dp_mesh(cpu_mesh):
+    """Accumulation composes with the data mesh: accum=2 on the 8-way DP
+    mesh matches accum=1 on the same mesh."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False)
+    batch = next(
+        synthetic_classification_batches(batch_size=16, image_size=32, seed=7)
+    )
+    rng = jax.random.PRNGKey(2)
+
+    init_fn, step1, _ = make_classifier_step_fns(cfg, mesh=cpu_mesh)
+    s1 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s1, m1 = step1(s1, shard_batch(batch, cpu_mesh), rng)
+
+    _, step2, _ = make_classifier_step_fns(
+        cfg.with_overrides(grad_accum=2), mesh=cpu_mesh
+    )
+    s2 = init_fn(jax.random.fold_in(rng, 0xA11))
+    s2, m2 = step2(s2, shard_batch(batch, cpu_mesh), rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
