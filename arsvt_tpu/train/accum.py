@@ -13,6 +13,14 @@ Microbatch layout: `(B, ...) -> (B/k, k, ...)` row-major, microbatch `a`
 device (each device's contiguous rows land in a contiguous dim-0 range),
 so no resharding collective is inserted — the sharding constraint below
 pins that.
+
+Estimator notes (exact for classification; approximations for detect):
+detection losses normalize by the *microbatch's* matched-box count, so
+accumulated detection gradients equal the full-batch ones only when box
+counts are uniform (the equivalence test constructs that case); and
+batch-hard triplet mining pools within a microbatch, not the global
+batch. Both match the semantics of sequential-step accumulation in other
+frameworks.
 """
 
 from __future__ import annotations

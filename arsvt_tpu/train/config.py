@@ -149,7 +149,9 @@ TRAIN_PRESETS: dict[str, TrainConfig] = {
         augment="crop_flip",  # BASELINE config #2's defining feature
     ),
     "vit_base_bf16_flash": TrainConfig(
-        preset="vit_base_16_224", batch_size=512, bf16=True,
+        # the bench champion recipe: bs512 as 16 no-remat scan microbatches
+        # (988 img/s/chip measured — PERFORMANCE.md round 3)
+        preset="vit_base_16_224", batch_size=512, bf16=True, grad_accum=16,
     ),
     "vit_large_384": TrainConfig(
         preset="vit_large_16_384", batch_size=256, mixup_alpha=0.2,

@@ -64,18 +64,20 @@ def vit_b_fwd_gflops():
     return backbone_fwd_gflops(bb) + 2 * bb.embed_dim * 6 / 1e9
 
 
-def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
+def bench_train(batch_size: int = 512, steps: int = 20, warmup: int = 3,
                 remat_policy: str = "none", fused_adamw: bool = True,
-                grad_accum: int = 1):
+                grad_accum: int = 16):
     from arsvt_tpu.train.config import TrainConfig
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
-    # champion config (round 2): NO rematerialisation at batch 192 —
-    # the fused-attention residual diet (no transposed q/k/v copies,
-    # (B,H,1,S) lse) shrinks no-remat to ~12.4 GB at bs192; measured
-    # 838.7 img/s vs 819.7 for all_but_mlp@bs256 (bs256 no-remat OOMs by
-    # 0.85 GB, bs224 measures 815.5 — memory-pressure regression).
-    # Round 3: + one-pass Pallas AdamW (ops/pallas/fused_adamw.py).
+    # champion config (round 3): batch 512 as 16 lax.scan microbatches of
+    # 32 inside one jitted step (train/accum.py), NO rematerialisation —
+    # 988 img/s vs 842.8 for the round-2 bs192/accum-1 champion and 802.7
+    # for bs512 full-remat. Small microbatches relieve the HBM pressure
+    # that capped the no-remat backward (micro 32-80 all measure ~990;
+    # micro 16 drops to 920 on small-matmul overhead) while the optimizer
+    # and augmentation amortize over the scan. + one-pass Pallas AdamW
+    # (ops/pallas/fused_adamw.py). Sweep: PERFORMANCE.md round 3.
     cfg = TrainConfig(
         preset="vit_base_16_224", batch_size=batch_size, bf16=True,
         augment="crop_flip", canvas=256, total_steps=10**6,
@@ -127,17 +129,19 @@ def bench_train(batch_size: int = 192, steps: int = 20, warmup: int = 3,
         f"D=768-contraction matmuls (benchmarks/), so the step runs at "
         f"~{tflops/108*100:.0f}% of the shape-specific roofline")
 
-    # eval throughput
+    # eval throughput at its own best batch (192 — eval is fwd-only and
+    # peaks there; the train headline's accumulation is irrelevant to it)
     params = state["params"]
-    eval_batch = batch
+    eval_bs = min(192, batch_size)
+    eval_batch = {k: v[:eval_bs] for k, v in batch.items()}
     m = eval_step(params, eval_batch)
     float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         m = eval_step(params, eval_batch)
     float(m["loss"])
-    eval_ips = batch_size * steps / (time.perf_counter() - t0)
-    log(f"eval: {eval_ips:.1f} img/s")
+    eval_ips = eval_bs * steps / (time.perf_counter() - t0)
+    log(f"eval: {eval_ips:.1f} img/s (batch {eval_bs})")
     return train_ips, eval_ips, state
 
 
@@ -293,7 +297,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=192)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--grad-accum", type=int, default=16,
+                    help="microbatches per jitted step (train/accum.py); "
+                         "the champion runs bs512 as 16x32")
     ap.add_argument("--remat-policy", default="none")
     ap.add_argument("--no-fused-adamw", action="store_true",
                     help="optax-chain optimizer instead of the one-pass "
@@ -308,13 +315,14 @@ def main():
 
     train_ips, eval_ips, state = bench_train(
         batch_size=args.batch_size, remat_policy=args.remat_policy,
-        fused_adamw=not args.no_fused_adamw,
+        fused_adamw=not args.no_fused_adamw, grad_accum=args.grad_accum,
     )
     stats = bench_streaming(state)
     del state
     result = {
         "metric": "images/sec/chip (ViT-B/16 fine-tune train step, bf16, "
-                  "fused on-device augmentation)",
+                  "fused on-device augmentation, bs512 as 16 scan "
+                  "microbatches)",
         "value": round(train_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(train_ips / TARGET, 3),
@@ -340,14 +348,16 @@ def main():
             log(f"detector bench failed: {str(e)[:200]}")
             result["detector_train_images_per_sec"] = None
         try:
-            # config #3 is batch 512; it needs full remat to fit one chip
+            # config #3 comparison row: bs512 WITHOUT accumulation needs
+            # full remat to fit one chip (the headline above runs the same
+            # bs512 recipe as 16 no-remat microbatches)
             ips_512, _, _ = bench_train(
-                batch_size=512, steps=10, remat_policy="full"
+                batch_size=512, steps=10, remat_policy="full", grad_accum=1
             )
-            result["batch512_images_per_sec"] = round(ips_512, 1)
+            result["batch512_full_remat_images_per_sec"] = round(ips_512, 1)
         except Exception as e:
             log(f"batch512 bench failed: {str(e)[:200]}")
-            result["batch512_images_per_sec"] = None
+            result["batch512_full_remat_images_per_sec"] = None
         try:
             result["vit_large_384_images_per_sec"] = round(
                 bench_vit_large(), 1
