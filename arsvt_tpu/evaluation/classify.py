@@ -315,6 +315,7 @@ class StreamingDetector:
         lat = np.asarray(self._latencies) * 1e3
         return {
             "p50_ms": float(np.percentile(lat, 50)),
+            "p90_ms": float(np.percentile(lat, 90)),
             "p99_ms": float(np.percentile(lat, 99)),
             "n": int(lat.size),
         }

@@ -361,10 +361,16 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
     state = trainer.init_state()
     params = state["params"]
 
-    if source == "reference" or (
-        source == "auto"
-        and any(k.startswith("detection_head.") for k in state_dict)
-    ):
+    is_reference = any(k.startswith("detection_head.") for k in state_dict)
+    if source not in ("auto", "hf", "timm", "reference"):
+        raise ValueError(f"unknown source {source!r}")
+    if is_reference and source in ("hf", "timm"):
+        raise ValueError(
+            f"{torch_state_path} contains detection_head.* keys — it is a "
+            f"checkpoint from the reference repo, not a {source} ViT; use "
+            f"--source reference (or auto)"
+        )
+    if source == "reference" or (source == "auto" and is_reference):
         if cfg.task != "detect":
             raise ValueError(
                 f"{torch_state_path} is a reference detector checkpoint; "
@@ -375,11 +381,16 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
         )
         imported = sorted(converted)
     else:
-        converted = {
-            "backbone": from_pretrained_state(
-                state_dict, resolve_backbone(cfg)
-            )
-        }
+        bb_cfg = resolve_backbone(cfg)
+        if source == "hf":
+            converted = {"backbone": _from_hf(_strip_prefix(
+                {k: np.asarray(v) for k, v in state_dict.items()}), bb_cfg)}
+        elif source == "timm":
+            converted = {"backbone": _from_timm(
+                {k: np.asarray(v) for k, v in state_dict.items()}, bb_cfg)}
+        else:
+            converted = {"backbone": from_pretrained_state(
+                state_dict, bb_cfg)}
         imported = ["backbone"]  # head stays fresh — fine-tune scenario
 
     def cast_like(init_leaf, new_leaf):

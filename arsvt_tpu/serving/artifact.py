@@ -67,6 +67,17 @@ class _ArtifactEngine:
                 f"expected ({self.image_size}, {self.image_size}, 3) "
                 f"image, got {arr.shape}"
             )
+        if np.issubdtype(arr.dtype, np.floating) and (
+                arr.min() < -0.25 or arr.max() > 1.25):
+            # same guard as StreamingClassifier (evaluation/classify.py):
+            # already-normalized or [0,255]-scaled floats would be silently
+            # mangled by the uint8 round-trip / unit-float pass-through
+            raise ValueError(
+                f"artifact engines expect uint8 or [0,1]-float images; got "
+                f"float range [{arr.min():.2f}, {arr.max():.2f}] — input "
+                "looks already normalized or 0-255 scaled. Normalization "
+                "happens inside the artifact per its export contract."
+            )
         if np.issubdtype(self._input_dtype, np.integer):
             if np.issubdtype(arr.dtype, np.floating):
                 arr = np.clip(np.round(arr * 255.0), 0, 255)
@@ -83,6 +94,7 @@ class _ArtifactEngine:
         lat = np.asarray(self._latencies) * 1e3
         return {
             "p50_ms": float(np.percentile(lat, 50)),
+            "p90_ms": float(np.percentile(lat, 90)),
             "p99_ms": float(np.percentile(lat, 99)),
             "n": int(lat.size),
         }

@@ -157,49 +157,63 @@ def load_exported(path: str):
 def export_checkpoint(checkpoint_dir: str, out_path: str, *,
                       step: int | None = None,
                       quantize: str | None = None,
-                      conf_threshold: float = 0.5,
-                      nms_threshold: float = 0.5,
+                      conf_threshold: float | None = None,
+                      nms_threshold: float | None = None,
                       platforms: tuple[str, ...] | None = None) -> dict:
     """Training checkpoint → serialized serving artifact on disk.
 
     Reads the architecture and the preprocessing contract from the config
     stored inside the checkpoint (never from caller-supplied constants —
-    the reference's silent-mismatch defect, SURVEY §3.4). Returns a
+    the reference's silent-mismatch defect, SURVEY §3.4). The thresholds
+    apply to detect checkpoints only (default 0.5) — passing them for a
+    classify checkpoint is an error, not a silent no-op. Returns a
     manifest dict describing what was exported.
     """
     from arsvt_tpu.serving.loading import load_inference_bundle
 
     params, cfg = load_inference_bundle(checkpoint_dir, step=step)
     normalize_inputs = cfg.augment != "none"
+    manifest = {
+        "task": cfg.task,
+        "normalize_inputs": normalize_inputs,
+        "quantize": quantize,
+        "path": out_path,
+    }
     if cfg.task == "detect":
         from arsvt_tpu.train.config import resolve_detector
 
         det_cfg = resolve_detector(cfg)
+        conf = 0.5 if conf_threshold is None else conf_threshold
+        nms = 0.5 if nms_threshold is None else nms_threshold
         exported = export_detector(
             params, det_cfg, normalize_inputs=normalize_inputs,
-            quantize=quantize, conf_threshold=conf_threshold,
-            nms_threshold=nms_threshold, platforms=platforms,
+            quantize=quantize, conf_threshold=conf,
+            nms_threshold=nms, platforms=platforms,
         )
         image_size = det_cfg.backbone.image_size
+        manifest.update(conf_threshold=conf, nms_threshold=nms)
     else:
+        if conf_threshold is not None or nms_threshold is not None:
+            raise ValueError(
+                "conf/nms thresholds apply to detect checkpoints; "
+                f"{checkpoint_dir} holds a {cfg.task!r} checkpoint"
+            )
         from arsvt_tpu.train.config import resolve_backbone
 
+        bb_cfg = resolve_backbone(cfg)
         exported = export_classifier(
-            params, resolve_backbone(cfg), cfg.num_classes,
+            params, bb_cfg, cfg.num_classes,
             normalize_inputs=normalize_inputs, quantize=quantize,
             platforms=platforms,
         )
-        image_size = resolve_backbone(cfg).image_size
+        image_size = bb_cfg.image_size
     save_exported(exported, out_path)
-    return {
-        "task": cfg.task,
-        "image_size": image_size,
-        "normalize_inputs": normalize_inputs,
-        "quantize": quantize,
-        "platforms": list(exported.platforms),
-        "input": "(b, {s}, {s}, 3) uint8".format(s=image_size),
-        "path": out_path,
-    }
+    manifest.update(
+        image_size=image_size,
+        platforms=list(exported.platforms),
+        input="(b, {s}, {s}, 3) uint8".format(s=image_size),
+    )
+    return manifest
 
 
 def main(argv=None):
@@ -215,8 +229,10 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--int8", action="store_true",
                    help="export the W8A8 quantized backbone")
-    p.add_argument("--conf-threshold", type=float, default=0.5)
-    p.add_argument("--nms-threshold", type=float, default=0.5)
+    p.add_argument("--conf-threshold", type=float, default=None,
+                   help="detect checkpoints only (default 0.5)")
+    p.add_argument("--nms-threshold", type=float, default=None,
+                   help="detect checkpoints only (default 0.5)")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu "
                         "(default: current backend)")

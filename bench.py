@@ -323,10 +323,14 @@ def main():
     )
     stats = bench_streaming(state)
     del state
+    accum_desc = (
+        f"bs{args.batch_size} as {args.grad_accum} scan microbatches"
+        if args.grad_accum > 1 else f"bs{args.batch_size}"
+    )
     result = {
         "metric": "images/sec/chip (ViT-B/16 fine-tune train step, bf16, "
-                  "fused on-device augmentation, bs512 as 16 scan "
-                  "microbatches)",
+                  f"fused on-device augmentation, {accum_desc}, remat="
+                  f"{args.remat_policy})",
         "value": round(train_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(train_ips / TARGET, 3),

@@ -300,3 +300,22 @@ def test_import_torch_checkpoint_reference_detector(tmp_path):
         import_torch_checkpoint(
             path, str(tmp_path / "ckpt2"), train_preset="smoke"
         )
+
+
+def test_import_torch_checkpoint_source_mismatch_raises(tmp_path):
+    """--source hf/timm on a reference detector file fails loudly with a
+    pointer to --source reference (review finding)."""
+    from arsvt_tpu.models.convert import import_torch_checkpoint
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+
+    det = DETECTOR_PRESETS["detector_test"]
+    path = str(tmp_path / "ref.pth")
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in
+         _reference_detector_state(det)["model_state_dict"].items()},
+        path,
+    )
+    with pytest.raises(ValueError, match="--source reference"):
+        import_torch_checkpoint(
+            path, str(tmp_path / "out"), train_preset="smoke", source="hf"
+        )

@@ -253,3 +253,48 @@ def test_export_checkpoint_end_to_end(tmp_path):
     idx, probs = loaded.call(_uint8_images(2, 32))
     assert probs.shape == (2, cfg.num_classes)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_artifact_engine_rejects_normalized_floats(tmp_path, classifier):
+    """The streaming double-normalization guard carries over to artifact
+    engines (review finding): out-of-range floats raise instead of being
+    silently mangled by the uint8 input round-trip."""
+    from arsvt_tpu.serving.artifact import load_artifact_engine
+
+    cfg, params = classifier
+    path = str(tmp_path / "clf.stablehlo")
+    save_exported(
+        export_classifier(
+            params, cfg, 6, compute_dtype=jnp.float32, platforms=("cpu",)
+        ),
+        path,
+    )
+    engine = load_artifact_engine(path)
+    bad = np.random.default_rng(0).normal(
+        0.0, 2.0, (cfg.image_size, cfg.image_size, 3)
+    ).astype(np.float32)
+    with pytest.raises(ValueError, match="already normalized"):
+        engine(bad)
+
+
+def test_export_checkpoint_rejects_thresholds_for_classify(tmp_path):
+    from arsvt_tpu.serving.export import export_checkpoint
+    from arsvt_tpu.data.synthetic import synthetic_classification_batches
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+    from arsvt_tpu.train.trainer import Trainer
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=2, checkpoint_every=2, eval_every=10**9, log_every=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    tr = Trainer(cfg)
+    tr.fit(itertools.islice(
+        synthetic_classification_batches(
+            batch_size=cfg.batch_size, image_size=32, seed=0
+        ), 2,
+    ))
+    with pytest.raises(ValueError, match="detect checkpoints"):
+        export_checkpoint(
+            str(tmp_path / "ckpt"), str(tmp_path / "m.hlo"),
+            conf_threshold=0.9, platforms=("cpu",),
+        )
