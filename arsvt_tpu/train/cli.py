@@ -61,7 +61,19 @@ def config_from_args(args) -> TrainConfig:
 
 
 def make_data(cfg: TrainConfig):
-    """Returns (train_batches, eval_batches_fn)."""
+    """Returns (train_batches, eval_batches_fn).
+
+    Under ARSVT_MULTIHOST each process loads only its stride-shard of the
+    records and feeds batch_size // process_count rows; the trainer
+    assembles the global batch (parallel/multihost.py)."""
+    import jax
+
+    pidx, pcount = jax.process_index(), jax.process_count()
+    if cfg.batch_size % pcount:
+        raise SystemExit(
+            f"batch_size {cfg.batch_size} must divide over {pcount} hosts"
+        )
+    local_bs = cfg.batch_size // pcount
     if not cfg.data_dir:
         if cfg.task == "detect":
             raise SystemExit("--data-dir required for detection training")
@@ -71,13 +83,13 @@ def make_data(cfg: TrainConfig):
             cfg.image_size or resolve_backbone(cfg).image_size
         )
         train = synthetic_classification_batches(
-            batch_size=cfg.batch_size, image_size=size, seed=cfg.seed
+            batch_size=local_bs, image_size=size, seed=cfg.seed + pidx
         )
 
         def eval_batches():
             return itertools.islice(
                 synthetic_classification_batches(
-                    batch_size=cfg.batch_size, image_size=size, seed=9999
+                    batch_size=local_bs, image_size=size, seed=9999 + pidx
                 ),
                 8,
             )
@@ -112,28 +124,30 @@ def make_data(cfg: TrainConfig):
         canvas = resolve_detector(cfg).backbone.image_size
     else:
         canvas = resolve_backbone(cfg).image_size
+    host_shard = dict(process_index=pidx, process_count=pcount)
     if cfg.task == "detect":
         train = detection_batches(
-            train_ds, batch_size=cfg.batch_size, canvas=canvas,
-            max_objects=cfg.max_objects, seed=cfg.seed,
+            train_ds, batch_size=local_bs, canvas=canvas,
+            max_objects=cfg.max_objects, seed=cfg.seed, **host_shard,
         )
 
         def eval_batches():
             return detection_batches(
-                val_ds, batch_size=cfg.batch_size, canvas=canvas,
+                val_ds, batch_size=local_bs, canvas=canvas,
                 max_objects=cfg.max_objects, seed=1, repeat=False,
-                shuffle=False, drop_remainder=False,
+                shuffle=False, drop_remainder=False, **host_shard,
             )
     else:
         train = classification_batches(
-            train_ds, batch_size=cfg.batch_size, canvas=canvas,
-            seed=cfg.seed,
+            train_ds, batch_size=local_bs, canvas=canvas,
+            seed=cfg.seed, **host_shard,
         )
 
         def eval_batches():
             return classification_batches(
-                val_ds, batch_size=cfg.batch_size, canvas=canvas,
+                val_ds, batch_size=local_bs, canvas=canvas,
                 seed=1, repeat=False, shuffle=False, drop_remainder=False,
+                **host_shard,
             )
 
     return train, eval_batches
@@ -142,6 +156,17 @@ def make_data(cfg: TrainConfig):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    # multi-host pods: every process runs this same command line with
+    # ARSVT_MULTIHOST=1; jax.distributed auto-discovers the pod topology
+    if os.environ.get("ARSVT_MULTIHOST"):
+        from arsvt_tpu.parallel.multihost import initialize_multihost
+
+        if initialize_multihost():
+            import jax
+
+            print(f"multihost: process {jax.process_index()}/"
+                  f"{jax.process_count()}", file=sys.stderr)
 
     # ARSVT_PLATFORM=cpu must pin EVERYTHING to CPU, not just the mesh:
     # some PJRT plugins (the axon TPU tunnel) ignore JAX_PLATFORMS, so

@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from arsvt_tpu.parallel.mesh import MeshConfig, make_mesh
-from arsvt_tpu.parallel.sharding import shard_batch
+from arsvt_tpu.parallel.multihost import global_batch_from_local
 from arsvt_tpu.train.checkpoint import CheckpointManager
 from arsvt_tpu.train.config import TrainConfig
 from arsvt_tpu.train.optim import PlateauState, set_lr_scale
@@ -145,7 +145,10 @@ class Trainer:
 
         for step in range(start, steps):
             batch = next(train_batches)
-            batch = shard_batch(batch, self.mesh)
+            # single-process: plain data-axis placement; multi-host
+            # (ARSVT_MULTIHOST): assembles each process's local shard into
+            # one global array (parallel/multihost.py)
+            batch = global_batch_from_local(batch, self.mesh)
             self.state, metrics = self.train_step(
                 self.state, batch, self.base_rng
             )
@@ -203,7 +206,7 @@ class Trainer:
         ap_preds: list = []
         ap_gts: list = []
         for batch in batches:
-            batch = shard_batch(batch, self.mesh)
+            batch = global_batch_from_local(batch, self.mesh)
             m = self.eval_step(self.state["params"], batch)
             for k, v in m.items():
                 if k == "confusion":

@@ -44,6 +44,7 @@ SIZE = 96          # model input
 CANVAS = 112       # generator canvas; crop_flip crops SIZE out of it
 BS = 256
 STEPS = int(os.environ.get("DEMO_STEPS", "4000"))
+GRAD_ACCUM = int(os.environ.get("DEMO_GRAD_ACCUM", "1"))
 TRAIN_IMAGES = int(os.environ.get("DEMO_TRAIN_IMAGES", "16384"))
 VAL_IMAGES = 2048
 
@@ -79,7 +80,7 @@ def main():
         learning_rate=float(os.environ.get("DEMO_LR", "3e-4")),
         weight_decay=0.05,
         warmup_steps=min(400, STEPS // 10), total_steps=STEPS,
-        schedule="cosine", bf16=True,
+        schedule="cosine", bf16=True, grad_accum=GRAD_ACCUM,
     )
     init_fn, train_step, eval_step = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -121,6 +122,7 @@ def main():
     artifact = {
         "config": {
             "preset": cfg.preset, "steps": STEPS, "batch_size": BS,
+            "grad_accum": GRAD_ACCUM,
             "train_images": int(n), "val_images": int(va_images.shape[0]),
             "augment": cfg.augment,
             "dataset": "non-color-separable shapes "
@@ -132,8 +134,10 @@ def main():
         "val": result,
         "train_split_top1": train_result["top1"],
     }
+    name = ("classification_generalization.json" if GRAD_ACCUM == 1
+            else "classification_generalization_accum.json")
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "classification_generalization.json")
+        os.path.abspath(__file__))), name)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"val_top1": result["top1"],
