@@ -138,10 +138,10 @@ class StreamingClassifier:
             params = quantize_image_classifier(params, backbone_cfg)
 
         @jax.jit
-        def infer(params, image):
+        def infer_batched(params, images):
             from arsvt_tpu.core.dtypes import to_unit_float
 
-            x = to_unit_float(image, jnp.float32)
+            x = to_unit_float(images, jnp.float32)
             if normalize_inputs:
                 from arsvt_tpu.data.augment import normalize
 
@@ -152,18 +152,23 @@ class StreamingClassifier:
                 )
 
                 logits = apply_image_classifier_int8(
-                    params, x[None].astype(compute_dtype),
+                    params, x.astype(compute_dtype),
                     backbone_cfg, num_classes,
                 )
             else:
                 logits = apply_image_classifier(
-                    params, x[None].astype(compute_dtype),
+                    params, x.astype(compute_dtype),
                     backbone_cfg, num_classes,
                 )
-            probs = jax.nn.softmax(logits[0].astype(jnp.float32))
-            return jnp.argmax(probs), probs
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        def infer(params, image):
+            idx, probs = infer_batched(params, image[None])
+            return idx[0], probs[0]
 
         self._infer = infer
+        self._infer_batched = infer_batched
         self._params = params
         # warm up compile so first real frame is not a 20s outlier
         dummy = jnp.zeros(
@@ -204,6 +209,13 @@ class StreamingClassifier:
     @property
     def image_size(self) -> int:
         return self._cfg.image_size
+
+    def infer_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
+        """Batched forward for the serving micro-batcher: (B, S, S, 3)
+        uint8 or [0,1]-float images -> (class_idx[B], probs[B, C]). One
+        compile per distinct B — callers should pad to a fixed bucket."""
+        idx, probs = self._infer_batched(self._params, jnp.asarray(images))
+        return np.asarray(idx), np.asarray(probs)
 
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
         """Full sorter-loop step: JPEG decode → letterbox → rescale/

@@ -103,6 +103,17 @@ class _ArtifactEngine:
 class ArtifactClassifier(_ArtifactEngine):
     """StreamingClassifier-compatible engine over a classify artifact."""
 
+    def infer_batch(self, images) -> tuple[np.ndarray, np.ndarray]:
+        """Batched forward for the serving micro-batcher: (B, S, S, 3)
+        uint8 or [0,1]-float -> (class_idx[B], probs[B, C]). The symbolic
+        batch dim compiles once per distinct B — callers pad to a bucket."""
+        arr = np.asarray(images)
+        batched = np.stack([
+            np.asarray(self._to_input_batch(im))[0] for im in arr
+        ])
+        idx, probs = self._call(jnp.asarray(batched))
+        return np.asarray(idx), np.asarray(probs)
+
     def __call__(self, image):
         t0 = time.perf_counter()
         idx, probs = self._call(self._to_input_batch(image))

@@ -32,19 +32,36 @@ import numpy as np
 
 
 class InferenceServer:
-    def __init__(self, *, classifier=None, detector=None):
-        """Pass a StreamingClassifier and/or StreamingDetector."""
+    def __init__(self, *, classifier=None, detector=None,
+                 max_batch: int = 1, batch_window_ms: float = 3.0):
+        """Pass a StreamingClassifier and/or StreamingDetector.
+
+        `max_batch > 1` turns on dynamic micro-batching for /classify:
+        concurrent requests within `batch_window_ms` share one padded
+        device forward (serving/batching.py)."""
         if classifier is None and detector is None:
             raise ValueError("need a classifier and/or a detector")
         self._clf = classifier
         self._det = detector
         self._lock = threading.Lock()  # serialize device access
         self._httpd = None
+        self._batcher = None
+        if max_batch > 1:
+            if classifier is None:
+                raise ValueError("max_batch > 1 needs a classifier "
+                                 "(/detect stays single-image)")
+            from arsvt_tpu.serving.batching import MicroBatcher
+
+            self._batcher = MicroBatcher(
+                classifier.infer_batch, max_batch=max_batch,
+                window_ms=batch_window_ms, lock=self._lock,
+            )
 
     # ------------------------------------------------------------ factory
     @classmethod
     def from_checkpoint(cls, checkpoint_dir: str, *, step: int | None = None,
-                        quantize: str | None = None):
+                        quantize: str | None = None,
+                        max_batch: int = 1, batch_window_ms: float = 3.0):
         """Build the right streaming engine from a training checkpoint.
 
         `quantize="int8"` serves the W8A8 backbone — int8 MXU matmuls,
@@ -64,6 +81,9 @@ class InferenceServer:
             from arsvt_tpu.evaluation.classify import StreamingDetector
             from arsvt_tpu.train.config import resolve_detector
 
+            if max_batch > 1:
+                raise ValueError("micro-batching applies to /classify; "
+                                 "detect checkpoints serve single-image")
             return cls(detector=StreamingDetector(
                 params, resolve_detector(cfg),
                 normalize_inputs=normalize_inputs, quantize=quantize,
@@ -74,10 +94,11 @@ class InferenceServer:
         return cls(classifier=StreamingClassifier(
             params, resolve_backbone(cfg), cfg.num_classes,
             normalize_inputs=normalize_inputs, quantize=quantize,
-        ))
+        ), max_batch=max_batch, batch_window_ms=batch_window_ms)
 
     @classmethod
-    def from_artifact(cls, artifact_path: str):
+    def from_artifact(cls, artifact_path: str, *, max_batch: int = 1,
+                      batch_window_ms: float = 3.0):
         """Serve a StableHLO export artifact (serving/export.py) — no
         model code, training config, or orbax on the serving box; the
         task and preprocessing contract live inside the artifact."""
@@ -88,8 +109,12 @@ class InferenceServer:
 
         engine = load_artifact_engine(artifact_path)
         if isinstance(engine, ArtifactDetector):
+            if max_batch > 1:
+                raise ValueError("micro-batching applies to /classify; "
+                                 "detect artifacts serve single-image")
             return cls(detector=engine)
-        return cls(classifier=engine)
+        return cls(classifier=engine, max_batch=max_batch,
+                   batch_window_ms=batch_window_ms)
 
     # ----------------------------------------------------------- handlers
     def _decode(self, body: bytes):
@@ -109,8 +134,18 @@ class InferenceServer:
         # rescale + normalization happen inside the classifier's jitted
         # forward, per its normalize_inputs contract
         img, _ = letterbox(self._decode(body), self._clf.image_size)
-        with self._lock:
-            idx, name, probs = self._clf(jnp.asarray(img))
+        if self._batcher is not None:
+            # decode/letterbox ran on this request thread (parallel);
+            # the batcher coalesces concurrent forwards into one device
+            # call and serializes against /detect via the shared lock
+            idx, probs = self._batcher.infer(img)
+            from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+
+            name = (RECYCLING_CLASSES[idx]
+                    if idx < len(RECYCLING_CLASSES) else str(idx))
+        else:
+            with self._lock:
+                idx, name, probs = self._clf(jnp.asarray(img))
         return {
             "class": int(idx),
             "class_name": name,
@@ -145,6 +180,8 @@ class InferenceServer:
             stats["classify"] = self._clf.latency_stats()
         if self._det is not None:
             stats["detect"] = self._det.latency_stats()
+        if self._batcher is not None:
+            stats["batching"] = self._batcher.stats()
         return stats
 
     # -------------------------------------------------------------- serve
@@ -211,6 +248,9 @@ class InferenceServer:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+        if self._batcher is not None:
+            self._batcher.shutdown()
+            self._batcher = None
 
 
 def main(argv=None):
@@ -226,6 +266,11 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=1,
+                   help="dynamic micro-batching for /classify: coalesce "
+                        "up to N concurrent requests into one forward")
+    p.add_argument("--batch-window-ms", type=float, default=3.0,
+                   help="how long a lone request waits for batch company")
     p.add_argument("--int8", action="store_true",
                    help="serve the W8A8 quantized backbone (classify and "
                         "detect; int8 MXU matmuls, 4x smaller weights); "
@@ -236,11 +281,16 @@ def main(argv=None):
         if args.int8 or args.step is not None:
             p.error("--int8/--step apply to --checkpoint-dir; with "
                     "--artifact they are baked in at export time")
-        server = InferenceServer.from_artifact(args.artifact)
+        server = InferenceServer.from_artifact(
+            args.artifact, max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
+        )
     else:
         server = InferenceServer.from_checkpoint(
             args.checkpoint_dir, step=args.step,
             quantize="int8" if args.int8 else None,
+            max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
         )
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /classify|/detect, GET /healthz|/stats)")

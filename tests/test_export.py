@@ -298,3 +298,47 @@ def test_export_checkpoint_rejects_thresholds_for_classify(tmp_path):
             str(tmp_path / "ckpt"), str(tmp_path / "m.hlo"),
             conf_threshold=0.9, platforms=("cpu",),
         )
+
+
+def test_artifact_micro_batched_server(tmp_path, classifier):
+    """from_artifact(max_batch=N): the artifact engine's padded batched
+    forward serves concurrent requests with identical results."""
+    import concurrent.futures
+    import urllib.request
+
+    from PIL import Image
+
+    from arsvt_tpu.serving.server import InferenceServer
+
+    cfg, params = classifier
+    path = str(tmp_path / "clf.stablehlo")
+    save_exported(
+        export_classifier(
+            params, cfg, 6, compute_dtype=jnp.float32, platforms=("cpu",)
+        ),
+        path,
+    )
+    srv = InferenceServer.from_artifact(
+        path, max_batch=4, batch_window_ms=50.0
+    )
+    host, port = srv.start_background(port=0)
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(_uint8_images(1, cfg.image_size)[0]).save(
+            buf, format="JPEG"
+        )
+        body = buf.getvalue()
+
+        def post(_):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/classify", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            results = list(ex.map(post, range(6)))
+        assert len({r["class"] for r in results}) == 1
+        assert all(len(r["probs"]) == 6 for r in results)
+    finally:
+        srv.shutdown()

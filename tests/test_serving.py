@@ -119,3 +119,85 @@ def test_streaming_preprocessing_contract():
     np.testing.assert_allclose(p_u8, p_f32, atol=1e-6)
     _, _, p_raw = raw(f32)
     assert not np.allclose(p_u8, p_raw)
+
+
+def test_infer_batch_matches_single():
+    """StreamingClassifier.infer_batch == N single calls (the micro-batch
+    contract: padding rows must not change real rows' outputs)."""
+    import jax.numpy as jnp
+
+    from arsvt_tpu.models.registry import get_preset
+
+    cfg = get_preset("vit_test_8_32")
+    clf = StreamingClassifier(
+        init_image_classifier(jax.random.PRNGKey(3), cfg, 6), cfg, 6,
+        compute_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(5, 32, 32, 3)).astype(np.float32)
+    idx_b, probs_b = clf.infer_batch(images)
+    for i in range(5):
+        idx_s, _, probs_s = clf(images[i])
+        assert idx_b[i] == idx_s
+        np.testing.assert_allclose(probs_b[i], probs_s, atol=1e-5)
+
+
+def test_micro_batching_server_end_to_end():
+    """Concurrent /classify requests against a max_batch server: all
+    answers correct-shaped, and the batcher actually coalesced (stats
+    report at least one multi-request batch) while /stats exposes it."""
+    import concurrent.futures
+    import json as _json
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from arsvt_tpu.models.registry import get_preset
+    from arsvt_tpu.serving.server import InferenceServer
+
+    cfg = get_preset("vit_test_8_32")
+    clf = StreamingClassifier(
+        init_image_classifier(jax.random.PRNGKey(4), cfg, 6), cfg, 6,
+        compute_dtype=jnp.float32,
+    )
+    srv = InferenceServer(classifier=clf, max_batch=4, batch_window_ms=50.0)
+    host, port = srv.start_background(port=0)
+    try:
+        body = _jpeg_bytes(32)
+
+        def post(_):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/classify", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return _json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(post, range(8)))
+        assert all(len(r["probs"]) == 6 for r in results)
+        # same JPEG -> identical prediction regardless of batch slot
+        assert len({r["class"] for r in results}) == 1
+
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/stats", timeout=30
+        ) as r:
+            stats = _json.loads(r.read())
+        b = stats["batching"]
+        assert b["requests"] == 8
+        assert b["batches"] < 8  # coalescing actually happened
+        assert b["max_batch_seen"] >= 2
+    finally:
+        srv.shutdown()
+
+
+def test_micro_batching_rejects_detect_only():
+    from arsvt_tpu.serving.server import InferenceServer
+    import jax.numpy as jnp
+
+    dcfg = DETECTOR_PRESETS["detector_test"]
+    det = StreamingDetector(
+        init_detector(jax.random.PRNGKey(0), dcfg), dcfg,
+        compute_dtype=jnp.float32,
+    )
+    with pytest.raises(ValueError, match="needs a classifier"):
+        InferenceServer(detector=det, max_batch=4)
