@@ -201,3 +201,31 @@ def test_micro_batching_rejects_detect_only():
     )
     with pytest.raises(ValueError, match="needs a classifier"):
         InferenceServer(detector=det, max_batch=4)
+
+
+def test_micro_batcher_error_propagation_and_padding():
+    """An engine failure reaches every waiter as the raised error; padded
+    rows never leak into results."""
+    from arsvt_tpu.serving.batching import MicroBatcher
+
+    calls = []
+
+    def infer_batch(images):
+        calls.append(images.shape[0])
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+        # identity-ish: every padded call arrives at the fixed max shape
+        assert images.shape[0] == 4
+        return (np.arange(images.shape[0]) % 6,
+                np.tile(np.eye(6)[0], (images.shape[0], 1)))
+
+    b = MicroBatcher(infer_batch, max_batch=4, window_ms=1.0)
+    try:
+        img = np.zeros((8, 8, 3), np.float32)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.infer(img)
+        idx, probs = b.infer(img)  # batcher survives the failure
+        assert probs.shape == (6,)
+        assert calls and calls[-1] == 4  # padded to the one compiled shape
+    finally:
+        b.shutdown()
