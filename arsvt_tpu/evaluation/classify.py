@@ -214,8 +214,24 @@ class StreamingClassifier:
         """Batched forward for the serving micro-batcher: (B, S, S, 3)
         uint8 or [0,1]-float images -> (class_idx[B], probs[B, C]). One
         compile per distinct B — callers should pad to a fixed bucket."""
-        idx, probs = self._infer_batched(self._params, jnp.asarray(images))
+        arr = np.asarray(images)
+        if self._normalize_inputs and np.issubdtype(
+                arr.dtype, np.floating) and (
+                arr.min() < -0.25 or arr.max() > 1.25):
+            # same guard as __call__: already-normalized floats would be
+            # silently normalized a second time
+            raise ValueError(
+                "infer_batch(normalize_inputs=True) expects uint8 or "
+                f"[0,1]-float images; got float range [{arr.min():.2f}, "
+                f"{arr.max():.2f}] — input looks already normalized."
+            )
+        idx, probs = self._infer_batched(self._params, jnp.asarray(arr))
         return np.asarray(idx), np.asarray(probs)
+
+    def note_latency(self, seconds: float) -> None:
+        """External paths (the serving micro-batcher) record into the
+        same rolling window latency_stats reads."""
+        self._latencies.append(seconds)
 
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
         """Full sorter-loop step: JPEG decode → letterbox → rescale/

@@ -382,15 +382,22 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
         imported = sorted(converted)
     else:
         bb_cfg = resolve_backbone(cfg)
-        if source == "hf":
-            converted = {"backbone": _from_hf(_strip_prefix(
-                {k: np.asarray(v) for k, v in state_dict.items()}), bb_cfg)}
-        elif source == "timm":
-            converted = {"backbone": _from_timm(
-                {k: np.asarray(v) for k, v in state_dict.items()}, bb_cfg)}
-        else:
-            converted = {"backbone": from_pretrained_state(
-                state_dict, bb_cfg)}
+        arrays = {k: np.asarray(v) for k, v in state_dict.items()}
+        try:
+            if source == "hf":
+                converted = {"backbone": _from_hf(_strip_prefix(arrays),
+                                                  bb_cfg)}
+            elif source == "timm":
+                converted = {"backbone": _from_timm(arrays, bb_cfg)}
+            else:
+                converted = {"backbone": from_pretrained_state(
+                    state_dict, bb_cfg)}
+        except KeyError as e:
+            raise ValueError(
+                f"{torch_state_path} does not match the "
+                f"{'forced ' if source != 'auto' else ''}{source} ViT "
+                f"layout (missing key {e}); try --source auto"
+            ) from e
         imported = ["backbone"]  # head stays fresh — fine-tune scenario
 
     def cast_like(init_leaf, new_leaf):

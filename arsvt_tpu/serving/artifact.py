@@ -88,6 +88,11 @@ class _ArtifactEngine:
             arr = arr.astype(self._input_dtype)
         return jnp.asarray(arr[None])
 
+    def note_latency(self, seconds: float) -> None:
+        """External paths (the serving micro-batcher) record into the
+        same rolling window latency_stats reads."""
+        self._latencies.append(seconds)
+
     def latency_stats(self) -> dict:
         if not self._latencies:
             return {}

@@ -58,6 +58,8 @@ class MicroBatcher:
     # ------------------------------------------------------------- client
     def infer(self, image) -> tuple[int, np.ndarray]:
         """Submit one HWC image; blocks until its (class_idx, probs)."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is shut down")
         item = _Pending(np.asarray(image))
         self._q.put(item)
         item.event.wait()
@@ -77,6 +79,8 @@ class MicroBatcher:
         # wake the worker so it can observe the stop flag
         self._q.put(None)  # type: ignore[arg-type]
         self._thread.join(timeout=5)
+        # catch any request that raced past the worker's final drain
+        self._drain_rejected()
 
     # ------------------------------------------------------------- worker
     def _collect(self) -> list[_Pending]:
@@ -98,7 +102,25 @@ class MicroBatcher:
             items.append(nxt)
         return items
 
+    def _drain_rejected(self):
+        """Fail any requests still queued at shutdown — a waiter blocked
+        on a dead worker would hang its HTTP handler thread forever."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item.error = RuntimeError("MicroBatcher shut down")
+                item.event.set()
+
     def _loop(self):
+        try:
+            self._run()
+        finally:
+            self._drain_rejected()
+
+    def _run(self):
         while not self._stop.is_set():
             items = self._collect()
             if not items:

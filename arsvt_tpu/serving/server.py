@@ -56,6 +56,13 @@ class InferenceServer:
                 classifier.infer_batch, max_batch=max_batch,
                 window_ms=batch_window_ms, lock=self._lock,
             )
+            # warm the ONE padded batch shape now — otherwise the first
+            # real request stalls behind the full XLA compile while the
+            # batcher worker holds the device lock
+            s = classifier.image_size
+            classifier.infer_batch(
+                np.zeros((max_batch, s, s, 3), np.float32)
+            )
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -139,6 +146,7 @@ class InferenceServer:
             # the batcher coalesces concurrent forwards into one device
             # call and serializes against /detect via the shared lock
             idx, probs = self._batcher.infer(img)
+            self._clf.note_latency(time.perf_counter() - t0)
             from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
 
             name = (RECYCLING_CLASSES[idx]

@@ -68,12 +68,13 @@ def make_data(cfg: TrainConfig):
     assembles the global batch (parallel/multihost.py)."""
     import jax
 
+    from arsvt_tpu.parallel.multihost import local_batch
+
     pidx, pcount = jax.process_index(), jax.process_count()
-    if cfg.batch_size % pcount:
-        raise SystemExit(
-            f"batch_size {cfg.batch_size} must divide over {pcount} hosts"
-        )
-    local_bs = cfg.batch_size // pcount
+    try:
+        local_bs = local_batch(cfg.batch_size)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if not cfg.data_dir:
         if cfg.task == "detect":
             raise SystemExit("--data-dir required for detection training")
@@ -162,11 +163,19 @@ def main(argv=None):
     if os.environ.get("ARSVT_MULTIHOST"):
         from arsvt_tpu.parallel.multihost import initialize_multihost
 
-        if initialize_multihost():
-            import jax
+        if not initialize_multihost():
+            # NEVER degrade silently to N independent trainings writing
+            # the same checkpoint_dir — the operator asked for a pod run
+            raise SystemExit(
+                "ARSVT_MULTIHOST=1 but jax.distributed failed to "
+                "initialize (no pod metadata/coordinator found, or the "
+                "backend was already initialized single-process). Unset "
+                "ARSVT_MULTIHOST for single-host runs."
+            )
+        import jax
 
-            print(f"multihost: process {jax.process_index()}/"
-                  f"{jax.process_count()}", file=sys.stderr)
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}", file=sys.stderr)
 
     # ARSVT_PLATFORM=cpu must pin EVERYTHING to CPU, not just the mesh:
     # some PJRT plugins (the axon TPU tunnel) ignore JAX_PLATFORMS, so
@@ -193,6 +202,19 @@ def main(argv=None):
         print(f"resumed at step {start}", file=sys.stderr)
 
     train_batches, eval_batches_fn = make_data(cfg)
+    import jax
+
+    if jax.process_count() > 1 and eval_batches_fn is not None:
+        # multi-host eval is rejected by Trainer.fit (unequal per-host
+        # shard tails deadlock the collective eval step)
+        if cfg.schedule == "plateau":
+            raise SystemExit(
+                "schedule=plateau needs in-training eval, which is not "
+                "supported multi-host; use cosine/constant on pods"
+            )
+        print("multihost: skipping in-training eval (evaluate offline "
+              "from checkpoints)", file=sys.stderr)
+        eval_batches_fn = None
     last = trainer.fit(train_batches, eval_batches_fn=eval_batches_fn)
     print(f"done: {last}", file=sys.stderr)
     return last

@@ -104,6 +104,19 @@ class Trainer:
         cfg = self.cfg
         if self.state is None:
             self.init_state()
+        if eval_batches_fn is not None and jax.process_count() > 1:
+            # stride-sharded eval streams can yield unequal per-host batch
+            # counts (drop_remainder=False tails) — one host would run a
+            # collective-bearing eval_step the others never join. Fail at
+            # fit() start instead of hanging at the first eval cadence;
+            # evaluate offline from the checkpoint on one host.
+            raise RuntimeError(
+                "multi-host eval is not supported: per-host eval shards "
+                "can differ in batch count, deadlocking the collective "
+                "eval step. Train without eval_batches_fn (plateau "
+                "schedules need it, so use cosine/constant on pods) and "
+                "evaluate checkpoints offline on one host."
+            )
         steps = steps if steps is not None else cfg.total_steps
         start = int(self.state["step"])
         meter = Throughput()
@@ -199,7 +212,15 @@ class Trainer:
         at every eval cadence (the reference plateaus on val loss only and
         never computes mAP at all — evaluation.py:18,593-615): detect
         eval_steps return raw `outputs`, which are post-processed here via
-        the same collection path as the offline evaluate_detector."""
+        the same collection path as the offline evaluate_detector.
+
+        Single-host only (any mesh size): see the fit() guard for why
+        multi-host eval is rejected."""
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "multi-host eval is not supported — evaluate offline "
+                "from the checkpoint on one host (see Trainer.fit)."
+            )
         sums: dict = {}
         confusion = None
         total_correct = total_count = n_batches = 0
