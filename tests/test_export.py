@@ -342,3 +342,33 @@ def test_artifact_micro_batched_server(tmp_path, classifier):
         assert all(len(r["probs"]) == 6 for r in results)
     finally:
         srv.shutdown()
+
+
+def test_detector_export_int8_round_trip(tmp_path):
+    """int8-quantized DETECT artifact: serializes, round-trips, and stays
+    box-consistent with the fp export on the same image (fp head keeps
+    regression quality; backbone quantization shifts logits slightly)."""
+    dcfg = DETECTOR_PRESETS["detector_test"]
+    params = init_detector(jax.random.PRNGKey(2), dcfg)
+    images = _uint8_images(2, dcfg.backbone.image_size, seed=11)
+
+    fp = export_detector(
+        params, dcfg, compute_dtype=jnp.float32, conf_threshold=0.0,
+        platforms=("cpu",)
+    )
+    q = export_detector(
+        params, dcfg, compute_dtype=jnp.float32, conf_threshold=0.0,
+        quantize="int8", platforms=("cpu",)
+    )
+    path = str(tmp_path / "det8.stablehlo")
+    save_exported(q, path)
+    out8 = load_exported(path).call(images)
+    out = fp.call(images)
+    assert sorted(out8.keys()) == ["boxes", "labels", "scores", "valid"]
+    # same shapes, finite boxes, and the quantized boxes stay close to fp
+    # (per-output-channel W8A8 backbone, fp DETR head)
+    assert out8["boxes"].shape == out["boxes"].shape
+    assert np.isfinite(np.asarray(out8["boxes"])).all()
+    np.testing.assert_allclose(
+        np.asarray(out8["boxes"]), np.asarray(out["boxes"]), atol=0.15
+    )
