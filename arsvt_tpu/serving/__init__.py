@@ -6,6 +6,7 @@ importing one surface does not pull in the others' dependencies.
 """
 
 _EXPORTS = {
+    "MicroBatcher": "arsvt_tpu.serving.batching",
     "ArtifactClassifier": "arsvt_tpu.serving.artifact",
     "ArtifactDetector": "arsvt_tpu.serving.artifact",
     "load_artifact_engine": "arsvt_tpu.serving.artifact",
