@@ -1,0 +1,70 @@
+"""utils/: the FLOP model behind every TFLOP/s number, profiling guards.
+
+The analytic model was validated against torch.profiler to 0.1%
+(benchmarks/torch_flop_check.py, PERFORMANCE.md "grounding the GPU
+proxy"); these tests pin the validated values so a silent edit to
+utils/flops.py cannot skew bench.py's effective-TFLOP/s or the trainer's
+telemetry without failing the suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arsvt_tpu.models.registry import get_preset
+from arsvt_tpu.utils.flops import (
+    backbone_fwd_gflops,
+    train_flops_multiplier,
+    train_gflops_per_image,
+)
+
+
+def test_vit_b_fwd_gflops_pinned():
+    # 35.13 GFLOP/img measured by torch.profiler(with_flops=True) on the
+    # reference-pattern ViT-B/16 @224 (benchmarks/torch_flop_check.py);
+    # analytic model matched to 0.1%
+    got = backbone_fwd_gflops(get_preset("vit_base_16_224"))
+    assert abs(got - 35.13) / 35.13 < 0.005, got
+
+
+def test_train_flops_multiplier_table():
+    assert train_flops_multiplier(False) == 3.0
+    assert train_flops_multiplier(True, "full") == 4.0
+    assert train_flops_multiplier(True, "all_but_mlp") == 3.3
+    assert train_flops_multiplier(True, "mlp_tail") == 3.05
+
+
+def test_train_gflops_per_image_tasks():
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+
+    clf = train_gflops_per_image(
+        TRAIN_PRESETS["vit_base_bf16_flash"].with_overrides(remat=False)
+    )
+    # no-remat train step = 3x the 35.13 forward (+ the tiny head)
+    assert abs(clf - 3 * 35.13) / (3 * 35.13) < 0.01, clf
+    det = train_gflops_per_image(TRAIN_PRESETS["deit_detector_ref"])
+    assert det > 0
+
+
+def test_assert_all_finite_raises_with_path():
+    from arsvt_tpu.utils.profiling import assert_all_finite
+
+    good = {"a": jnp.ones((2, 2)), "b": {"c": jnp.zeros(3)}}
+    assert_all_finite(good, "good")  # no raise
+    bad = {"a": jnp.ones((2, 2)),
+           "b": {"c": jnp.array([1.0, float("nan"), 2.0])}}
+    with pytest.raises(FloatingPointError, match="b.*c"):
+        assert_all_finite(bad, "state")
+
+
+def test_step_timer_summary():
+    from arsvt_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            np.dot(np.ones((50, 50)), np.ones((50, 50)))
+    s = t.summary()
+    assert s["steps"] == 3  # warmup step excluded
+    assert s["mean_ms"] >= 0.0 and s["p99_ms"] >= s["p50_ms"]
