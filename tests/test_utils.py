@@ -68,3 +68,32 @@ def test_step_timer_summary():
     s = t.summary()
     assert s["steps"] == 3  # warmup step excluded
     assert s["mean_ms"] >= 0.0 and s["p99_ms"] >= s["p50_ms"]
+
+
+def test_metric_logger_jsonl_round_trip(tmp_path, capsys):
+    import json
+
+    from arsvt_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(out_dir=str(tmp_path), quiet=True)
+    lg.log(5, {"loss": jnp.asarray(1.5), "mAP": 0.25}, prefix="val/")
+    lg.log(10, {"loss": 1.25})
+    rows = [json.loads(line) for line in
+            open(tmp_path / "metrics.jsonl")]
+    assert rows[0]["step"] == 5 and rows[0]["val/loss"] == 1.5
+    assert rows[0]["val/mAP"] == 0.25
+    assert rows[1]["step"] == 10 and rows[1]["loss"] == 1.25
+
+
+def test_throughput_meter():
+    import time as _time
+
+    from arsvt_tpu.utils.logging import Throughput
+
+    m = Throughput()
+    m.add(100)
+    _time.sleep(0.05)
+    r = m.rate()
+    assert 100 < r < 100 / 0.05 * 1.5  # images/sec over elapsed wall time
+    m.reset()
+    assert m.rate() == 0.0
