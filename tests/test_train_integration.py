@@ -378,3 +378,27 @@ def test_grad_accum_under_dp_mesh(cpu_mesh):
     for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
                     jax.tree_util.tree_leaves(s2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_training_is_deterministic_for_fixed_seed():
+    """Two fresh runs with the same TrainConfig.seed produce bit-identical
+    metrics — reproducibility is a framework guarantee (stateless PRNG
+    folded from config.seed; no hidden host RNG in the step)."""
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(bf16=False, total_steps=4)
+
+    def run():
+        init_fn, step, _ = make_classifier_step_fns(cfg, mesh=None)
+        tr = Trainer(cfg, step_fns=(init_fn, step,
+                                    make_classifier_step_fns(cfg)[2]))
+        batches = synthetic_classification_batches(
+            batch_size=cfg.batch_size, image_size=32, seed=7
+        )
+        tr.init_state()
+        last = tr.fit(batches, steps=4)
+        return last["loss"], jax.tree_util.tree_leaves(
+            tr.state["params"])[0]
+
+    l1, p1 = run()
+    l2, p2 = run()
+    assert l1 == l2
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
