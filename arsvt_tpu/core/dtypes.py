@@ -61,3 +61,25 @@ def to_unit_float(images, dtype=jnp.float32):
     if jnp.issubdtype(images.dtype, jnp.integer):
         return images.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
     return images.astype(dtype)
+
+
+def check_unit_range_images(arr, context: str) -> None:
+    """Reject float images outside ~[0,1] on host-side serving paths.
+
+    The inference engines normalize INSIDE their jitted forwards; feeding
+    them already-ImageNet-normalized (or [0,255]-scaled) floats silently
+    produces wrong probabilities (round-2 advisor finding). Every serving
+    entry that accepts raw images shares this one guard so the tolerance
+    and message can never drift between paths.
+    """
+    import numpy as np
+
+    a = np.asarray(arr)
+    if np.issubdtype(a.dtype, np.floating) and (
+            a.min() < -0.25 or a.max() > 1.25):
+        raise ValueError(
+            f"{context} expects uint8 or [0,1]-float images and "
+            f"normalizes inside the forward; got float range "
+            f"[{a.min():.2f}, {a.max():.2f}] — input looks already "
+            "normalized or 0-255 scaled."
+        )

@@ -181,20 +181,11 @@ class StreamingClassifier:
         if self._preprocess is not None:
             image = self._preprocess(image)
         if self._normalize_inputs:
-            # fail loudly on already-ImageNet-normalized float inputs (the
-            # pre-round-2 contract): double normalization silently produces
-            # wrong probabilities (advisor round-2 finding). [0,1] floats
-            # and uint8 are the supported inputs.
-            arr = np.asarray(image)
-            if np.issubdtype(arr.dtype, np.floating) and (
-                    arr.min() < -0.25 or arr.max() > 1.25):
-                raise ValueError(
-                    "StreamingClassifier(normalize_inputs=True) expects "
-                    "uint8 or [0,1]-float images and normalizes inside the "
-                    f"forward; got float range [{arr.min():.2f}, "
-                    f"{arr.max():.2f}] — input looks already normalized. "
-                    "Pass normalize_inputs=False or feed raw images."
-                )
+            from arsvt_tpu.core.dtypes import check_unit_range_images
+
+            check_unit_range_images(
+                image, "StreamingClassifier(normalize_inputs=True)"
+            )
         idx, probs = self._infer(self._params, jnp.asarray(image))
         idx = int(idx)
         probs = np.asarray(probs)
@@ -214,18 +205,13 @@ class StreamingClassifier:
         """Batched forward for the serving micro-batcher: (B, S, S, 3)
         uint8 or [0,1]-float images -> (class_idx[B], probs[B, C]). One
         compile per distinct B — callers should pad to a fixed bucket."""
-        arr = np.asarray(images)
-        if self._normalize_inputs and np.issubdtype(
-                arr.dtype, np.floating) and (
-                arr.min() < -0.25 or arr.max() > 1.25):
-            # same guard as __call__: already-normalized floats would be
-            # silently normalized a second time
-            raise ValueError(
-                "infer_batch(normalize_inputs=True) expects uint8 or "
-                f"[0,1]-float images; got float range [{arr.min():.2f}, "
-                f"{arr.max():.2f}] — input looks already normalized."
+        if self._normalize_inputs:
+            from arsvt_tpu.core.dtypes import check_unit_range_images
+
+            check_unit_range_images(
+                images, "infer_batch(normalize_inputs=True)"
             )
-        idx, probs = self._infer_batched(self._params, jnp.asarray(arr))
+        idx, probs = self._infer_batched(self._params, jnp.asarray(images))
         return np.asarray(idx), np.asarray(probs)
 
     def note_latency(self, seconds: float) -> None:

@@ -67,17 +67,12 @@ class _ArtifactEngine:
                 f"expected ({self.image_size}, {self.image_size}, 3) "
                 f"image, got {arr.shape}"
             )
-        if np.issubdtype(arr.dtype, np.floating) and (
-                arr.min() < -0.25 or arr.max() > 1.25):
-            # same guard as StreamingClassifier (evaluation/classify.py):
-            # already-normalized or [0,255]-scaled floats would be silently
-            # mangled by the uint8 round-trip / unit-float pass-through
-            raise ValueError(
-                f"artifact engines expect uint8 or [0,1]-float images; got "
-                f"float range [{arr.min():.2f}, {arr.max():.2f}] — input "
-                "looks already normalized or 0-255 scaled. Normalization "
-                "happens inside the artifact per its export contract."
-            )
+        from arsvt_tpu.core.dtypes import check_unit_range_images
+
+        # already-normalized or [0,255]-scaled floats would be silently
+        # mangled by the uint8 round-trip / unit-float pass-through;
+        # normalization happens inside the artifact per its export contract
+        check_unit_range_images(arr, "artifact engines")
         if np.issubdtype(self._input_dtype, np.integer):
             if np.issubdtype(arr.dtype, np.floating):
                 arr = np.clip(np.round(arr * 255.0), 0, 255)

@@ -155,6 +155,8 @@ def make_data(cfg: TrainConfig):
 
 
 def main(argv=None):
+    import jax  # deferred past arg parsing; backends init lazily later
+
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
@@ -172,8 +174,6 @@ def main(argv=None):
                 "backend was already initialized single-process). Unset "
                 "ARSVT_MULTIHOST for single-host runs."
             )
-        import jax
-
         print(f"multihost: process {jax.process_index()}/"
               f"{jax.process_count()}", file=sys.stderr)
 
@@ -183,8 +183,6 @@ def main(argv=None):
     # tunnel even for CPU-mesh runs and couple them to its health.
     platform = os.environ.get("ARSVT_PLATFORM")
     if platform:
-        import jax
-
         jax.config.update("jax_default_device", jax.devices(platform)[0])
 
     from arsvt_tpu.train.trainer import Trainer
@@ -202,8 +200,6 @@ def main(argv=None):
         print(f"resumed at step {start}", file=sys.stderr)
 
     train_batches, eval_batches_fn = make_data(cfg)
-    import jax
-
     if jax.process_count() > 1 and eval_batches_fn is not None:
         # multi-host eval is rejected by Trainer.fit (unequal per-host
         # shard tails deadlock the collective eval step)
