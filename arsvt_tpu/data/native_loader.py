@@ -58,6 +58,16 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.arsvt_probe_image.restype = ctypes.c_int
+        lib.arsvt_probe_image.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.arsvt_decode_raw.restype = ctypes.c_int
+        lib.arsvt_decode_raw.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_longlong,
+        ]
         _lib = lib
         return _lib
 
@@ -113,6 +123,29 @@ def load_letterboxed_batch(paths: list[str], canvas: int,
                 f"{failed.size} image(s) failed to decode, e.g. {sample}"
             )
     return images, meta
+
+
+def decode_image(path: str) -> np.ndarray:
+    """One image -> upright uint8 HWC RGB via the native core (EXIF
+    orientation applied in C++, arsvt_loader.cpp). Debug/test surface;
+    the batch path is `load_letterboxed_batch`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (build failed)")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    encoded = path.encode()
+    if lib.arsvt_probe_image(encoded, ctypes.byref(w),
+                             ctypes.byref(h)) != 0:
+        raise ValueError(f"undecodable image: {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.arsvt_decode_raw(
+        encoded, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+    )
+    if rc != 0:
+        raise ValueError(f"decode failed ({rc}): {path}")
+    return out
 
 
 def box_transform_from_meta(meta_row, canvas: int):

@@ -24,16 +24,24 @@ from PIL import Image
 from arsvt_tpu.data.coco import CocoDataset
 
 
+def _open_upright(path: str):
+    """Open + apply EXIF orientation — sorter cameras write rotated
+    frames with only the tag to say so; the native C++ decoder applies
+    the same transform (arsvt_loader.cpp parse_exif_orientation)."""
+    from PIL import ImageOps
+
+    with Image.open(path) as im:
+        return ImageOps.exif_transpose(im).convert("RGB")
+
+
 def load_image(path: str) -> np.ndarray:
     """JPEG/PNG -> float32 HWC RGB in [0,1] (cv2 BGR dance not needed)."""
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+    return np.asarray(_open_upright(path), np.float32) / 255.0
 
 
 def load_image_u8(path: str) -> np.ndarray:
     """JPEG/PNG -> uint8 HWC RGB (raw bytes; device rescales to [0,1])."""
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.uint8)
+    return np.asarray(_open_upright(path), np.uint8)
 
 
 def letterbox_u8(image: np.ndarray, canvas: int):

@@ -49,7 +49,77 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+// Minimal EXIF parse: APP1 "Exif\0\0" -> TIFF IFD0 -> tag 0x0112
+// (Orientation, SHORT). Returns 1-8, or 0 when absent/garbled. Sorter
+// cameras write rotated frames with only this tag to say so — ignoring
+// it (as the reference's cv2.imread does, train.py:100) silently feeds
+// sideways images to the model.
+int parse_exif_orientation(const uint8_t* d, unsigned len) {
+  if (len < 14 || memcmp(d, "Exif\0\0", 6) != 0) return 0;
+  const uint8_t* t = d + 6;
+  const unsigned n = len - 6;
+  bool le;
+  if (t[0] == 'I' && t[1] == 'I') le = true;
+  else if (t[0] == 'M' && t[1] == 'M') le = false;
+  else return 0;
+  auto u16 = [&](unsigned off) -> unsigned {
+    if (off + 2 > n) return 0;
+    return le ? (t[off] | (t[off + 1] << 8))
+              : ((t[off] << 8) | t[off + 1]);
+  };
+  auto u32 = [&](unsigned off) -> unsigned {
+    if (off + 4 > n) return 0;
+    return le ? (t[off] | (t[off + 1] << 8) | (t[off + 2] << 16) |
+                 (unsigned(t[off + 3]) << 24))
+              : ((unsigned(t[off]) << 24) | (t[off + 1] << 16) |
+                 (t[off + 2] << 8) | t[off + 3]);
+  };
+  if (u16(2) != 42) return 0;
+  const unsigned ifd = u32(4);
+  if (ifd == 0 || ifd + 2 > n) return 0;
+  const unsigned count = u16(ifd);
+  for (unsigned i = 0; i < count; i++) {
+    const unsigned e = ifd + 2 + i * 12;
+    if (e + 12 > n) break;
+    if (u16(e) == 0x0112 && u16(e + 2) == 3) {  // Orientation, SHORT
+      const unsigned v = u16(e + 8);
+      if (v >= 1 && v <= 8) return int(v);
+    }
+  }
+  return 0;
+}
+
+// Rewrite the pixel buffer so the image displays upright (the same
+// transforms as PIL.ImageOps.exif_transpose; validated against it in
+// tests/test_native_loader.py).
+void apply_orientation(Image* img, int o) {
+  if (o <= 1 || o > 8) return;
+  const int w = img->w, h = img->h;
+  const bool swap = o >= 5;
+  const int nw = swap ? h : w, nh = swap ? w : h;
+  std::vector<uint8_t> out(size_t(nw) * nh * 3);
+  for (int y = 0; y < h; y++) {
+    const uint8_t* src = &img->rgb[size_t(y) * w * 3];
+    for (int x = 0; x < w; x++) {
+      int dx = x, dy = y;
+      switch (o) {
+        case 2: dx = w - 1 - x; dy = y; break;          // mirror H
+        case 3: dx = w - 1 - x; dy = h - 1 - y; break;  // rotate 180
+        case 4: dx = x; dy = h - 1 - y; break;          // mirror V
+        case 5: dx = y; dy = x; break;                  // transpose
+        case 6: dx = h - 1 - y; dy = x; break;          // rotate 90 CW
+        case 7: dx = h - 1 - y; dy = w - 1 - x; break;  // transverse
+        case 8: dx = y; dy = w - 1 - x; break;          // rotate 90 CCW
+      }
+      memcpy(&out[(size_t(dy) * nw + dx) * 3], src + size_t(x) * 3, 3);
+    }
+  }
+  img->rgb.swap(out);
+  img->w = nw;
+  img->h = nh;
+}
+
+bool decode_jpeg(FILE* f, Image* out, int* orientation) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -59,10 +129,16 @@ bool decode_jpeg(FILE* f, Image* out) {
     return false;
   }
   jpeg_create_decompress(&cinfo);
+  jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);  // keep EXIF APP1
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return false;
+  }
+  for (jpeg_saved_marker_ptr m = cinfo.marker_list; m; m = m->next) {
+    if (m->marker == JPEG_APP0 + 1 && *orientation == 0) {
+      *orientation = parse_exif_orientation(m->data, m->data_length);
+    }
   }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -118,12 +194,14 @@ bool decode_file(const char* path, Image* out) {
   size_t n = fread(magic, 1, 8, f);
   rewind(f);
   bool ok = false;
+  int orientation = 0;
   if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, &orientation);
   } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // PNG carries no EXIF orientation
   }
   fclose(f);
+  if (ok && orientation > 1) apply_orientation(out, orientation);
   return ok && out->w > 0 && out->h > 0;
 }
 
@@ -328,6 +406,19 @@ int arsvt_probe_image(const char* path, int* w, int* h) {
   if (!decode_file(path, &img)) return -1;
   *w = img.w;
   *h = img.h;
+  return 0;
+}
+
+// Raw upright RGB bytes for one image (debug/test surface): probe first
+// for w/h, then call with an h*w*3 buffer. EXIF orientation is applied —
+// w/h are the upright dimensions. Returns 0 ok, -1 undecodable, -2 cap
+// too small.
+int arsvt_decode_raw(const char* path, uint8_t* out, long long cap) {
+  Image img;
+  if (!decode_file(path, &img)) return -1;
+  const long long need = (long long)img.w * img.h * 3;
+  if (need > cap) return -2;
+  memcpy(out, img.rgb.data(), size_t(need));
   return 0;
 }
 }

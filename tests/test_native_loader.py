@@ -100,3 +100,47 @@ def test_pipeline_uint8_default_and_train_numerics(coco):
     np.testing.assert_allclose(
         float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("orientation", [2, 3, 4, 5, 6, 7, 8])
+def test_native_exif_orientation_matches_pil(tmp_path, orientation):
+    """Every EXIF orientation decodes upright, bit-identical to PIL's
+    ImageOps.exif_transpose (arsvt_loader.cpp parse_exif_orientation/
+    apply_orientation)."""
+    from PIL import Image, ImageOps
+
+    rng = np.random.default_rng(orientation)
+    # asymmetric content + non-square so any wrong transform is caught
+    base = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    base[:4, :4] = 255  # bright corner marker
+    path = str(tmp_path / f"o{orientation}.jpg")
+    img = Image.fromarray(base)
+    exif = Image.Exif()
+    exif[0x0112] = orientation
+    img.save(path, quality=95, exif=exif.tobytes())
+
+    with Image.open(path) as im:
+        expect = np.asarray(
+            ImageOps.exif_transpose(im).convert("RGB"), np.uint8
+        )
+
+    got = native_loader.decode_image(path)
+    assert got.shape == expect.shape, (got.shape, expect.shape)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pil_fallback_exif_orientation(tmp_path):
+    """The PIL fallback path (pipeline.load_image) applies the same EXIF
+    transform, so native and fallback loaders agree on rotated frames."""
+    from PIL import Image
+
+    from arsvt_tpu.data.pipeline import load_image_u8
+
+    base = np.zeros((10, 20, 3), np.uint8)
+    base[:, :10] = 200  # left half bright
+    path = str(tmp_path / "rot.jpg")
+    exif = Image.Exif()
+    exif[0x0112] = 6  # rotate 90 CW to display
+    Image.fromarray(base).save(path, quality=95, exif=exif.tobytes())
+    out = load_image_u8(path)
+    assert out.shape == (20, 10, 3)  # upright: dimensions swapped
