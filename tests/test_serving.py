@@ -229,3 +229,17 @@ def test_micro_batcher_error_propagation_and_padding():
         assert calls and calls[-1] == 4  # padded to the one compiled shape
     finally:
         b.shutdown()
+
+
+def test_server_cli_flag_validation(tmp_path):
+    """server CLI rejects contradictory flag combinations loudly."""
+    from arsvt_tpu.serving.server import main as server_main
+
+    with pytest.raises(SystemExit):
+        server_main(["--artifact", "x.hlo", "--int8"])
+    with pytest.raises(SystemExit):
+        server_main(["--artifact", "x.hlo", "--step", "3"])
+    with pytest.raises(SystemExit):  # mutually exclusive sources
+        server_main(["--artifact", "x.hlo", "--checkpoint-dir", "d"])
+    with pytest.raises(SystemExit):  # one source required
+        server_main([])
