@@ -297,6 +297,34 @@ def bench_vit_tiny_cpu(steps: int = 5, batch: int = 8):
     return ips
 
 
+def _backend_or_die(timeout_s: int = 180) -> str:
+    """Probe backend init in a SUBPROCESS with a hard deadline before
+    touching it in-process. A TPU plugin whose tunnel is down blocks
+    backend init forever inside native code (observed: dead relay ->
+    jax.devices() never returns, SIGALRM handlers never run); the driver
+    needs a fast, explicit failure line instead of a silent stall."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=timeout_s, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "error": f"backend init exceeded {timeout_s}s — TPU "
+                     "tunnel/plugin unreachable; bench aborted"
+        }))
+        raise SystemExit(3)
+    except subprocess.CalledProcessError as e:
+        print(json.dumps({
+            "error": "backend init failed: "
+                     + e.stderr.decode(errors="replace")[-300:]
+        }))
+        raise SystemExit(3)
+    return jax.default_backend()
+
+
 def main():
     import argparse
 
@@ -314,7 +342,8 @@ def main():
                          "#1/#3/#4 and the detector)")
     args = ap.parse_args()
 
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    backend = _backend_or_die()
+    log(f"backend: {backend}, devices: {jax.devices()}")
     from arsvt_tpu.utils.flops import train_flops_multiplier
 
     train_ips, eval_ips, state = bench_train(
