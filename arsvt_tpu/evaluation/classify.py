@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES, class_name
+from arsvt_tpu.utils.latency import LatencyWindow
 from arsvt_tpu.models.classifier import apply_image_classifier
 from arsvt_tpu.objectives.classification import confusion_matrix
 
@@ -62,6 +63,7 @@ def evaluate_classifier(
 
             logits = apply_image_classifier_int8(
                 params, x.astype(compute_dtype), backbone_cfg, num_classes,
+                compute_dtype=compute_dtype,
             )
         else:
             logits = apply_image_classifier(
@@ -109,7 +111,7 @@ def _load_letterboxed_single(path: str, size: int) -> np.ndarray:
     return image
 
 
-class StreamingClassifier:
+class StreamingClassifier(LatencyWindow):
     """Single-image classify path for the physical sorter loop.
 
     Pre-compiles a batch-1 forward; `__call__` takes one HWC uint8 or
@@ -154,6 +156,7 @@ class StreamingClassifier:
                 logits = apply_image_classifier_int8(
                     params, x.astype(compute_dtype),
                     backbone_cfg, num_classes,
+                    compute_dtype=compute_dtype,
                 )
             else:
                 logits = apply_image_classifier(
@@ -190,12 +193,7 @@ class StreamingClassifier:
         idx = int(idx)
         probs = np.asarray(probs)
         self._latencies.append(time.perf_counter() - t0)
-        name = (
-            RECYCLING_CLASSES[idx]
-            if idx < len(RECYCLING_CLASSES)
-            else str(idx)
-        )
-        return idx, name, probs
+        return idx, class_name(idx), probs
 
     @property
     def image_size(self) -> int:
@@ -214,11 +212,6 @@ class StreamingClassifier:
         idx, probs = self._infer_batched(self._params, jnp.asarray(images))
         return np.asarray(idx), np.asarray(probs)
 
-    def note_latency(self, seconds: float) -> None:
-        """External paths (the serving micro-batcher) record into the
-        same rolling window latency_stats reads."""
-        self._latencies.append(seconds)
-
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
         """Full sorter-loop step: JPEG decode → letterbox → rescale/
         normalize (inside the jitted forward) → classify (BASELINE config
@@ -230,19 +223,8 @@ class StreamingClassifier:
         self._latencies[-1] = time.perf_counter() - t0
         return result
 
-    def latency_stats(self) -> dict:
-        if not self._latencies:
-            return {}
-        lat = np.asarray(self._latencies) * 1e3
-        return {
-            "p50_ms": float(np.percentile(lat, 50)),
-            "p90_ms": float(np.percentile(lat, 90)),
-            "p99_ms": float(np.percentile(lat, 99)),
-            "n": int(lat.size),
-        }
 
-
-class StreamingDetector:
+class StreamingDetector(LatencyWindow):
     """Single-image detect path: decode → preprocess → DETR forward →
     post-process (conf threshold + NMS). Counterpart of StreamingClassifier
     for the sorter's detection mode."""
@@ -315,21 +297,7 @@ class StreamingDetector:
             "boxes": out["boxes"][sel],
             "labels": out["labels"][sel],
             "scores": out["scores"][sel],
-            "class_names": [
-                RECYCLING_CLASSES[i] if i < len(RECYCLING_CLASSES) else str(i)
-                for i in out["labels"][sel]
-            ],
+            "class_names": [class_name(i) for i in out["labels"][sel]],
         }
         self._latencies.append(time.perf_counter() - t0)
         return result
-
-    def latency_stats(self) -> dict:
-        if not self._latencies:
-            return {}
-        lat = np.asarray(self._latencies) * 1e3
-        return {
-            "p50_ms": float(np.percentile(lat, 50)),
-            "p90_ms": float(np.percentile(lat, 90)),
-            "p99_ms": float(np.percentile(lat, 99)),
-            "n": int(lat.size),
-        }

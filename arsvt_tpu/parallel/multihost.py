@@ -37,6 +37,12 @@ def initialize_multihost(coordinator_address: str | None = None,
     """Initialize the JAX distributed runtime once; returns True when the
     runtime spans more than one process afterwards."""
     global _INITIALIZED
+    # A launcher (or another library) may have initialized the runtime
+    # before us — that is success, not failure. jax.distributed raises
+    # RuntimeError("distributed.initialize should only be called once.")
+    # on re-entry, so probe first instead of string-matching the error.
+    if not _INITIALIZED and jax.distributed.is_initialized():
+        _INITIALIZED = True
     if not _INITIALIZED:
         try:
             jax.distributed.initialize(
@@ -46,10 +52,11 @@ def initialize_multihost(coordinator_address: str | None = None,
             )
             _INITIALIZED = True
         except (RuntimeError, ValueError) as e:
-            # already initialized (re-entry) is fine; a single-process
-            # environment with no coordinator info raises — treat as
-            # single-host rather than crashing local runs
-            if "already initialized" in str(e).lower():
+            # re-entry raced between the probe and the call: fine; a
+            # single-process environment with no coordinator info raises —
+            # treat as single-host rather than crashing local runs
+            if ("should only be called once" in str(e)
+                    or "already initialized" in str(e).lower()):
                 _INITIALIZED = True
             else:
                 return False

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+from arsvt_tpu.data.taxonomy import class_name
+from arsvt_tpu.utils.latency import LatencyWindow
 
 
 def _artifact_task(exported) -> str:
@@ -41,7 +42,7 @@ def _artifact_task(exported) -> str:
     )
 
 
-class _ArtifactEngine:
+class _ArtifactEngine(LatencyWindow):
     """Shared plumbing: input-contract introspection, batch-1 jit, latency
     window. `__call__`-level semantics live in the task subclasses."""
 
@@ -83,23 +84,6 @@ class _ArtifactEngine:
             arr = arr.astype(self._input_dtype)
         return jnp.asarray(arr[None])
 
-    def note_latency(self, seconds: float) -> None:
-        """External paths (the serving micro-batcher) record into the
-        same rolling window latency_stats reads."""
-        self._latencies.append(seconds)
-
-    def latency_stats(self) -> dict:
-        if not self._latencies:
-            return {}
-        lat = np.asarray(self._latencies) * 1e3
-        return {
-            "p50_ms": float(np.percentile(lat, 50)),
-            "p90_ms": float(np.percentile(lat, 90)),
-            "p99_ms": float(np.percentile(lat, 99)),
-            "n": int(lat.size),
-        }
-
-
 class ArtifactClassifier(_ArtifactEngine):
     """StreamingClassifier-compatible engine over a classify artifact."""
 
@@ -120,12 +104,7 @@ class ArtifactClassifier(_ArtifactEngine):
         idx = int(np.asarray(idx)[0])
         probs = np.asarray(probs)[0]
         self._latencies.append(time.perf_counter() - t0)
-        name = (
-            RECYCLING_CLASSES[idx]
-            if idx < len(RECYCLING_CLASSES)
-            else str(idx)
-        )
-        return idx, name, probs
+        return idx, class_name(idx), probs
 
     def classify_path(self, path: str):
         from arsvt_tpu.evaluation.classify import _load_letterboxed_single
@@ -151,10 +130,7 @@ class ArtifactDetector(_ArtifactEngine):
             "boxes": out["boxes"][sel],
             "labels": out["labels"][sel],
             "scores": out["scores"][sel],
-            "class_names": [
-                RECYCLING_CLASSES[i] if i < len(RECYCLING_CLASSES) else str(i)
-                for i in out["labels"][sel]
-            ],
+            "class_names": [class_name(i) for i in out["labels"][sel]],
         }
         self._latencies.append(time.perf_counter() - t0)
         return result

@@ -62,6 +62,13 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is shut down")
         item = _Pending(np.asarray(image))
         self._q.put(item)
+        # close the shutdown race: if shutdown() ran between the check
+        # above and the put (its final drain may already be done), no one
+        # will ever drain this item — re-check and self-drain so the
+        # waiter below can never block on a dead worker. Queue.get is
+        # atomic, so each item is failed or served exactly once.
+        if self._stop.is_set():
+            self._drain_rejected()
         item.event.wait()
         if item.error is not None:
             raise item.error

@@ -24,10 +24,42 @@ return the post-processed `{boxes, scores, labels, valid}` dict exactly as
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 import jax
 import jax.numpy as jnp
 
 _SUPPORTED_QUANT = (None, "int8")
+
+
+@contextlib.contextmanager
+def _portable_trace_guard(platforms):
+    """Force the pure-jnp op path while tracing a portable artifact.
+
+    Pallas Mosaic kernels lower only for TPU: exporting from a TPU host
+    (where `ops.dispatch.use_pallas()` is True) with any non-TPU platform
+    in `platforms` would embed `tpu_custom_call`s that cannot lower for
+    CPU and the export would fail. The jnp reference path lowers for every
+    backend (including TPU — slower than the kernels, but portable), so a
+    multi-/non-TPU-platform export trades kernel speed for portability.
+    A TPU-only export (platforms None or ("tpu",)) keeps the kernels.
+    """
+    if platforms is not None and any(p != "tpu" for p in platforms):
+        old = os.environ.get("ARSVT_DISABLE_PALLAS")
+        old_force = os.environ.pop("ARSVT_FORCE_PALLAS", None)
+        os.environ["ARSVT_DISABLE_PALLAS"] = "1"
+        try:
+            yield
+        finally:
+            if old is None:
+                os.environ.pop("ARSVT_DISABLE_PALLAS", None)
+            else:
+                os.environ["ARSVT_DISABLE_PALLAS"] = old
+            if old_force is not None:
+                os.environ["ARSVT_FORCE_PALLAS"] = old_force
+    else:
+        yield
 
 
 def _check_quant(quantize):
@@ -82,9 +114,10 @@ def export_classifier(params, backbone_cfg, num_classes: int, *,
         return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
 
     spec = _input_spec(backbone_cfg.image_size, input_dtype)
-    return jax.export.export(
-        jax.jit(serve), platforms=platforms
-    )(spec)
+    with _portable_trace_guard(platforms):
+        return jax.export.export(
+            jax.jit(serve), platforms=platforms
+        )(spec)
 
 
 def export_detector(params, detector_cfg, *,
@@ -133,9 +166,10 @@ def export_detector(params, detector_cfg, *,
         )
 
     spec = _input_spec(detector_cfg.backbone.image_size, input_dtype)
-    return jax.export.export(
-        jax.jit(serve), platforms=platforms
-    )(spec)
+    with _portable_trace_guard(platforms):
+        return jax.export.export(
+            jax.jit(serve), platforms=platforms
+        )(spec)
 
 
 def save_exported(exported, path: str) -> None:

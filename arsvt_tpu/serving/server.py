@@ -147,10 +147,9 @@ class InferenceServer:
             # call and serializes against /detect via the shared lock
             idx, probs = self._batcher.infer(img)
             self._clf.note_latency(time.perf_counter() - t0)
-            from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+            from arsvt_tpu.data.taxonomy import class_name
 
-            name = (RECYCLING_CLASSES[idx]
-                    if idx < len(RECYCLING_CLASSES) else str(idx))
+            name = class_name(idx)
         else:
             with self._lock:
                 idx, name, probs = self._clf(jnp.asarray(img))

@@ -241,3 +241,45 @@ def test_pipeline_host_stride_disjoint(tmp_path):
     n0, n1 = count(0, 2), count(1, 2)
     assert n0 + n1 == n_all > 0
     assert abs(n0 - n1) <= 1
+
+
+def test_initialize_multihost_pre_initialized_runtime(monkeypatch):
+    """A runtime another launcher already initialized is SUCCESS, not
+    failure: jax.distributed.initialize raises 'should only be called
+    once.' on re-entry, so the guard must probe is_initialized() first
+    (and recognize the re-entry message if the probe races)."""
+    import arsvt_tpu.parallel.multihost as mh
+
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
+
+    def boom(**kwargs):
+        raise AssertionError("initialize() must not be called again")
+
+    monkeypatch.setattr(mh.jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(mh.jax.distributed, "initialize", boom)
+    monkeypatch.setattr(mh.jax, "process_count", lambda: 4)
+    assert mh.initialize_multihost() is True
+    assert mh._INITIALIZED
+
+    # the probe-vs-call race: initialize raises the real jax re-entry
+    # message — still success
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
+    monkeypatch.setattr(mh.jax.distributed, "is_initialized", lambda: False)
+
+    def reentry(**kwargs):
+        raise RuntimeError("distributed.initialize should only be called "
+                           "once.")
+
+    monkeypatch.setattr(mh.jax.distributed, "initialize", reentry)
+    assert mh.initialize_multihost() is True
+    assert mh._INITIALIZED
+
+    # a genuinely un-initializable single-process env stays single-host
+    monkeypatch.setattr(mh, "_INITIALIZED", False)
+
+    def no_coord(**kwargs):
+        raise RuntimeError("coordinator_address must be set")
+
+    monkeypatch.setattr(mh.jax.distributed, "initialize", no_coord)
+    assert mh.initialize_multihost() is False
+    assert not mh._INITIALIZED

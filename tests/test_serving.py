@@ -2,6 +2,7 @@
 
 import io
 import json
+import threading
 import urllib.error
 import urllib.request
 
@@ -243,3 +244,75 @@ def test_server_cli_flag_validation(tmp_path):
         server_main(["--artifact", "x.hlo", "--checkpoint-dir", "d"])
     with pytest.raises(SystemExit):  # one source required
         server_main([])
+
+
+def test_micro_batcher_shutdown_race_never_hangs():
+    """A request whose enqueue lands AFTER shutdown's final drain must be
+    failed, not stranded: infer() re-checks the stop flag after its put and
+    self-drains. Reproduced deterministically by running a full shutdown
+    from inside the queue's put (i.e. between infer's liveness check and
+    the enqueue landing)."""
+    from arsvt_tpu.serving.batching import MicroBatcher
+
+    def infer_batch(images):
+        return (np.zeros(images.shape[0], np.int64),
+                np.tile(np.eye(6)[0], (images.shape[0], 1)))
+
+    b = MicroBatcher(infer_batch, max_batch=2, window_ms=1.0)
+
+    class RacingQueue:
+        """First put triggers a complete shutdown (stop flag + worker join
+        + final drain), THEN lands the item — the lost-waiter interleaving."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._raced = False
+
+        def put(self, item, *a, **k):
+            if not self._raced and item is not None:
+                self._raced = True
+                shutdown()
+            self._inner.put(item, *a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real_q = b._q
+    shutdown = b.shutdown
+    b._q = RacingQueue(real_q)
+
+    done = {}
+
+    def request():
+        try:
+            b.infer(np.zeros((4, 4, 3), np.float32))
+        except RuntimeError as e:
+            done["error"] = str(e)
+
+    t = threading.Thread(target=request, daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "infer() hung on a dead worker"
+    assert "shut down" in done.get("error", "")
+
+
+def test_portable_export_guard_forces_jnp_path(monkeypatch):
+    """Exporting for any non-TPU platform must trace the pure-jnp ops:
+    Pallas Mosaic custom calls cannot lower for CPU, so an export from a
+    TPU host (use_pallas() True) with platforms=("tpu","cpu") — the
+    documented edge-deployment recipe — would otherwise fail."""
+    from arsvt_tpu.ops.dispatch import use_pallas
+    from arsvt_tpu.serving.export import _portable_trace_guard
+
+    monkeypatch.delenv("ARSVT_DISABLE_PALLAS", raising=False)
+    monkeypatch.setenv("ARSVT_FORCE_PALLAS", "1")  # simulate a TPU host
+    assert use_pallas()
+    with _portable_trace_guard(("tpu", "cpu")):
+        assert not use_pallas()
+    assert use_pallas()  # restored (FORCE_PALLAS put back)
+    with _portable_trace_guard(("cpu",)):
+        assert not use_pallas()
+    with _portable_trace_guard(("tpu",)):
+        assert use_pallas()  # TPU-only artifacts keep the kernels
+    with _portable_trace_guard(None):
+        assert use_pallas()
