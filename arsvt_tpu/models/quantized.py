@@ -158,7 +158,7 @@ def apply_backbone_int8(qparams, images, cfg: BackboneConfig,
             h, bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
         ), None
 
-    x, _ = jax.lax.scan(lambda c, bp: block(c, bp), x, qparams["blocks"])
+    x, _ = jax.lax.scan(block, x, qparams["blocks"])
     return layer_norm(x, qparams["ln_f"]["scale"], qparams["ln_f"]["bias"])
 
 

@@ -45,6 +45,7 @@ class TrainConfig:
     plateau_factor: float = 0.7
     plateau_patience: int = 1
     plateau_min_lr: float = 1e-7
+    plateau_threshold: float = 1e-3          # torch rel-mode (train.py:1366)
     # regularisation
     label_smoothing: float = 0.0
     mixup_alpha: float = 0.0                 # 0 = off

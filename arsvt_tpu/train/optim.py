@@ -66,7 +66,6 @@ def _wd_mask(params):
 
     (Standard ViT practice; the reference decays everything, train.py:1598.)
     """
-    import jax
 
     def leaf(path, x):
         name = "/".join(
@@ -90,7 +89,12 @@ class PlateauState:
     bad_epochs: int = 0
 
     def update(self, metric: float, cfg: TrainConfig) -> "PlateauState":
-        if metric < self.best - 1e-8:
+        # torch's default threshold_mode='rel' with mode='min'
+        # (train.py:1611 passes threshold=1e-3): improvement means
+        # metric < best * (1 - threshold), so a val loss creeping down by
+        # less than 0.1% per epoch still counts as a plateau and decays
+        # the lr — an absolute epsilon would never fire there.
+        if metric < self.best * (1.0 - cfg.plateau_threshold):
             return PlateauState(self.scale, metric, 0)
         bad = self.bad_epochs + 1
         if bad > cfg.plateau_patience:
@@ -102,9 +106,14 @@ class PlateauState:
 
 
 def set_lr_scale(opt_state, scale: float):
-    """Set the injected plateau multiplier on an inject_hyperparams state."""
-    opt_state.hyperparams["lr_scale"] = jnp.asarray(scale, jnp.float32)
-    return opt_state
+    """Return the inject_hyperparams state with the plateau multiplier set.
+
+    Pure: the input state is untouched (a retained reference — e.g. a
+    best-checkpoint state held for rollback — must not change under the
+    caller's feet)."""
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["lr_scale"] = jnp.asarray(scale, jnp.float32)
+    return opt_state._replace(hyperparams=hyperparams)
 
 
 # ------------------------------------------------------- fused AdamW path
@@ -177,10 +186,10 @@ def fused_adamw_update(cfg: TrainConfig, grads, opt_state, params,
         step.astype(jnp.float32),
     ])
 
+    from arsvt_tpu.parallel.mesh import MODEL_AXIS
+
     mask = _wd_mask(params)
-    tp = mesh is not None and dict(
-        zip(mesh.axis_names, mesh.devices.shape)
-    ).get("model", 1) > 1
+    tp = mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1
     kernel_on = use_pallas() and not tp
     outs = jax.tree_util.tree_map(
         lambda g, m, v, p, decayed: adamw_leaf(

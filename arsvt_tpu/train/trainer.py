@@ -185,7 +185,9 @@ class Trainer:
                     self.plateau = self.plateau.update(
                         eval_metrics["loss"], cfg
                     )
-                    set_lr_scale(self.state["opt_state"], self.plateau.scale)
+                    self.state["opt_state"] = set_lr_scale(
+                        self.state["opt_state"], self.plateau.scale
+                    )
 
             # >= 10**9 is the presets' "checkpointing off" sentinel; any
             # smaller cadence keeps the final-step save even for runs

@@ -53,6 +53,23 @@ def test_plateau_state_mirrors_reference_scheduler():
     np.testing.assert_allclose(st.scale, 0.7)  # scale persists
 
 
+def test_plateau_threshold_is_relative():
+    """torch ReduceLROnPlateau threshold_mode='rel' (the default; the
+    reference passes threshold=1e-3, train.py:1366,1611): a val loss
+    creeping down by <0.1%/epoch is a plateau, not an improvement —
+    improvement requires metric < best * (1 - 1e-3)."""
+    cfg = TrainConfig(schedule="plateau", plateau_factor=0.7,
+                      plateau_patience=1, learning_rate=1e-4)
+    st = PlateauState()
+    st = st.update(1.0, cfg)
+    st = st.update(0.9996, cfg)   # -0.04% — inside the 0.1% band: bad #1
+    assert st.bad_epochs == 1 and st.best == 1.0
+    st = st.update(0.9992, cfg)   # still creeping: bad #2 -> cut lr
+    np.testing.assert_allclose(st.scale, 0.7)
+    st = st.update(0.99, cfg)     # -1% — a real improvement
+    assert st.best == 0.99 and st.bad_epochs == 0
+
+
 def test_plateau_min_lr_floor():
     cfg = TrainConfig(schedule="plateau", plateau_factor=0.1,
                       plateau_patience=0, learning_rate=1e-4,
@@ -72,10 +89,12 @@ def test_set_lr_scale_changes_update_size():
     state = opt.init(params)
     grads = {"w": jnp.ones((4,))}
     up1, state1 = opt.update(grads, state, params)
-    set_lr_scale(state, 0.5)
-    up2, _ = opt.update(grads, state, params)
+    scaled = set_lr_scale(state, 0.5)
+    up2, _ = opt.update(grads, scaled, params)
     ratio = float(up2["w"][0] / up1["w"][0])
     np.testing.assert_allclose(ratio, 0.5, rtol=1e-5)
+    # pure: the input state's multiplier is untouched
+    np.testing.assert_allclose(float(state.hyperparams["lr_scale"]), 1.0)
 
 
 def test_weight_decay_mask():
