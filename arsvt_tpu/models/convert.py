@@ -400,8 +400,23 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
             ) from e
         imported = ["backbone"]  # head stays fresh — fine-tune scenario
 
-    def cast_like(init_leaf, new_leaf):
-        return jnp.asarray(new_leaf, dtype=init_leaf.dtype)
+    def cast_like(path, init_leaf, new_leaf):
+        # every imported leaf must match the target preset's shape — a
+        # silent mismatch (e.g. reference num_queries=5 imported into a
+        # 100-query preset, or a --num-classes override disagreeing with
+        # the source head) would write a corrupt step-0 checkpoint that
+        # only fails at the first restore
+        new_leaf = jnp.asarray(new_leaf, dtype=init_leaf.dtype)
+        if new_leaf.shape != init_leaf.shape:
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            raise ValueError(
+                f"imported leaf {name!r} has shape {new_leaf.shape}, the "
+                f"{train_preset!r} preset expects {init_leaf.shape} — "
+                f"source checkpoint and target preset disagree"
+            )
+        return new_leaf
 
     for key, tree in converted.items():
         if key not in params:
@@ -409,7 +424,9 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
                 f"converted component {key!r} not in {sorted(params)} — "
                 f"preset/task mismatch"
             )
-        params[key] = jax.tree.map(cast_like, params[key], tree)
+        params[key] = jax.tree_util.tree_map_with_path(
+            cast_like, params[key], tree
+        )
 
     trainer.ckpt.save(0, state)
     trainer.ckpt.wait()

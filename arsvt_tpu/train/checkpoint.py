@@ -32,14 +32,34 @@ class CheckpointManager:
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
         self._cfg = cfg
-        options = dict(
-            max_to_keep=keep, create=True, enable_async_checkpointing=True
-        )
+        options = dict(create=True, enable_async_checkpointing=True)
         if best_metric:
+            best_fn = lambda metrics: float(metrics[best_metric])
+            # Passing best_fn alone makes orbax preserve ONLY the best-N
+            # (its default swaps LatestN out for BestN), so the most
+            # recent checkpoint — the resume point — is deleted the moment
+            # its val metric falls out of the top N (e.g. the whole tail
+            # of an overfitting run). Preserve latest-N for resume AND the
+            # single best for deployment, explicitly. BestN must not keep
+            # metric-less steps itself (union semantics would then keep
+            # them forever); LatestN covers those.
+            from orbax.checkpoint import checkpoint_managers as ocm
+
             options.update(
-                best_fn=lambda metrics: float(metrics[best_metric]),
+                best_fn=best_fn,  # still drives best_step()
                 best_mode=best_mode,
+                preservation_policy=ocm.AnyPreservationPolicy([
+                    ocm.LatestN(n=keep),
+                    ocm.BestN(
+                        get_metric_fn=best_fn,
+                        reverse=(best_mode == "min"),
+                        n=1,
+                        keep_checkpoints_without_metrics=False,
+                    ),
+                ]),
             )
+        else:
+            options["max_to_keep"] = keep
         self._mgr = ocp.CheckpointManager(
             self._dir, options=ocp.CheckpointManagerOptions(**options)
         )
@@ -139,6 +159,52 @@ def load_for_eval(directory: str, cfg: TrainConfig, state_like: dict,
     finally:
         mgr.close()
     return state, saved_cfg
+
+
+def load_params_for_eval(directory: str, cfg: TrainConfig, params_like,
+                         *, step: int | None = None):
+    """Restore ONLY the params subtree, config-bound.
+
+    For frozen consumers (distillation teacher, inference) that never need
+    the optimizer state: a full `load_for_eval` deserializes the Adam
+    moments too — ~2x the parameter bytes of disk reads and allocations —
+    only to be discarded. orbax `partial_restore` skips those leaves
+    entirely. The same strict config binding as `CheckpointManager.restore`
+    applies."""
+    mgr = ocp.CheckpointManager(os.path.abspath(directory))
+    try:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {directory}")
+        blob = mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )
+        saved_cfg = TrainConfig.from_json(blob["config"]["train_config"])
+        mismatches = _model_config_mismatches(saved_cfg, cfg)
+        if mismatches:
+            raise ValueError(
+                "checkpoint was trained with a different model config "
+                f"({mismatches})"
+            )
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.PyTreeRestore(
+                    item={"params": params_like}, partial_restore=True
+                )
+            ),
+        )
+        params = restored["state"]["params"]
+
+        def replace(like, x):
+            if hasattr(like, "sharding"):
+                return jax.device_put(x, like.sharding)
+            return x
+
+        params = jax.tree_util.tree_map(replace, params_like, params)
+        return params, saved_cfg
+    finally:
+        mgr.close()
 
 
 def peek_config(directory: str, *, step: int | None = None) -> TrainConfig:

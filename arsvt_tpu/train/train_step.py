@@ -120,7 +120,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
             state = place_on_mesh(state, mesh)
         return state
 
-    def loss_fn(params, images, labels, rng):
+    def loss_fn(params, images, labels, rng, teacher=None):
         compute_params = policy.cast_to_compute(params)
         images = to_unit_float(images)  # uint8 batches rescale on device
         if aug_cfg is not None:
@@ -148,7 +148,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
             )
             t_logits = jax.lax.stop_gradient(
                 apply_image_classifier(
-                    policy.cast_to_compute(teacher_params), images,
+                    policy.cast_to_compute(teacher), images,
                     teacher_bb, num_classes, train=False,
                 )
             )
@@ -182,12 +182,16 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         )
         return loss, {"accuracy": accuracy_top1(logits, hard_labels)}
 
-    def batch_loss(params, b, rng):
-        return loss_fn(params, b["image"], b["label"], rng)
-
+    # the frozen teacher rides in as an explicit jit ARGUMENT, not a
+    # closure capture: closed-over arrays become trace-time constants —
+    # re-captured on every retrace and ineligible for donation — which at
+    # ViT-B scale embeds ~0.3 GB of teacher weights in the jaxpr
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, base_rng):
+    def _train_step(state: TrainState, batch, base_rng, teacher):
         from arsvt_tpu.train.accum import accumulated_value_and_grad
+
+        def batch_loss(params, b, rng):
+            return loss_fn(params, b["image"], b["label"], rng, teacher)
 
         step_rng = jax.random.fold_in(base_rng, state["step"])
         (loss, aux), grads = accumulated_value_and_grad(
@@ -222,6 +226,9 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
             metrics,
         )
 
+    def train_step(state: TrainState, batch, base_rng):
+        return _train_step(state, batch, base_rng, teacher_params)
+
     @jax.jit
     def eval_step(params, batch):
         compute_params = policy.cast_to_compute(params)
@@ -255,7 +262,10 @@ def _load_teacher(cfg: TrainConfig, student_bb, mesh):
     The teacher's architecture comes from the config stored inside its
     checkpoint (never guessed — the reference's strict=False anti-pattern,
     evaluation.py:375-391). Returns (params, backbone_cfg)."""
-    from arsvt_tpu.train.checkpoint import load_for_eval, peek_config
+    from arsvt_tpu.train.checkpoint import (
+        load_params_for_eval,
+        peek_config,
+    )
 
     tcfg = peek_config(cfg.distill_teacher)
     teacher_bb = resolve_backbone(tcfg)
@@ -272,13 +282,9 @@ def _load_teacher(cfg: TrainConfig, student_bb, mesh):
     params_like = init_image_classifier(
         jax.random.PRNGKey(0), teacher_bb, tcfg.num_classes
     )
-    state_like = {
-        "params": params_like,
-        "opt_state": make_optimizer(tcfg).init(params_like),
-        "step": jnp.zeros((), jnp.int32),
-    }
-    state, _ = load_for_eval(cfg.distill_teacher, tcfg, state_like)
-    params = state["params"]
+    # params-only partial restore: never reads or allocates the teacher's
+    # Adam moments (~2x parameter bytes a frozen teacher can't use)
+    params, _ = load_params_for_eval(cfg.distill_teacher, tcfg, params_like)
     if mesh is not None:
         params = shard_params(params, mesh)
     return params, teacher_bb

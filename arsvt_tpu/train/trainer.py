@@ -79,11 +79,7 @@ class Trainer:
         """Restore the latest checkpoint if one exists; returns start step."""
         if self.state is None:
             self.init_state()
-        try:
-            latest = self.ckpt.latest_step
-        except FileNotFoundError:
-            return 0
-        if latest is None:
+        if self.ckpt.latest_step is None:
             return 0
         self.state, _ = self.ckpt.restore(self.state)
         # plateau controller counters survive the restart (the lr *scale*
@@ -154,6 +150,7 @@ class Trainer:
     def _fit_loop(self, train_batches, eval_batches_fn, steps, start, meter):
         cfg = self.cfg
         last_val_loss = float("inf")
+        last_val_step = -1  # step the loss was measured at, for freshness
         self._last_metrics = {}
 
         for step in range(start, steps):
@@ -181,6 +178,7 @@ class Trainer:
                 eval_metrics = self.evaluate(eval_batches_fn())
                 self.logger.log(step + 1, eval_metrics, prefix="val/")
                 last_val_loss = float(eval_metrics.get("loss", last_val_loss))
+                last_val_step = step + 1
                 if cfg.schedule == "plateau":
                     self.plateau = self.plateau.update(
                         eval_metrics["loss"], cfg
@@ -197,10 +195,15 @@ class Trainer:
                 (step + 1) % cfg.checkpoint_every == 0 or step + 1 == steps
             ):
                 # device_get: the async save must not race the next step's
-                # donated buffers
+                # donated buffers. val_loss rides along ONLY when it was
+                # measured at this very step — a stale value would let the
+                # best-checkpoint selector attribute an old loss to newer
+                # weights (metric-less steps are protected by latest-N
+                # retention, never by best-N).
+                fresh = last_val_step == step + 1
                 self.ckpt.save(
                     step + 1, jax.device_get(self.state),
-                    metrics={"val_loss": last_val_loss},
+                    metrics={"val_loss": last_val_loss} if fresh else None,
                     extra={"plateau": dataclasses.asdict(self.plateau)},
                 )
 
@@ -226,11 +229,19 @@ class Trainer:
         sums: dict = {}
         confusion = None
         total_correct = total_count = n_batches = 0
+        weight_total = 0.0
         ap_preds: list = []
         ap_gts: list = []
         for batch in batches:
             batch = global_batch_from_local(batch, self.mesh)
             m = self.eval_step(self.state["params"], batch)
+            # per-batch scalar metrics are means over the batch: weight by
+            # batch size so a ragged last batch doesn't skew val loss
+            # (mean-of-means would give a 10-image tail the same vote as a
+            # 500-image batch — enough to flip plateau / best-checkpoint
+            # decisions)
+            weight = float(batch["image"].shape[0])
+            weight_total += weight
             for k, v in m.items():
                 if k == "confusion":
                     c = np.asarray(v)
@@ -251,11 +262,11 @@ class Trainer:
                         ap_preds.extend(ap_p)
                         ap_gts.extend(g)
                 else:
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    sums[k] = sums.get(k, 0.0) + float(v) * weight
             n_batches += 1
         if n_batches == 0:
             return {"loss": float("nan"), "accuracy": 0.0}
-        out = {k: v / n_batches for k, v in sums.items()}
+        out = {k: v / weight_total for k, v in sums.items()}
         if total_count:
             out["accuracy"] = total_correct / total_count
         if confusion is not None:

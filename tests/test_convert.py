@@ -319,3 +319,27 @@ def test_import_torch_checkpoint_source_mismatch_raises(tmp_path):
         import_torch_checkpoint(
             path, str(tmp_path / "out"), train_preset="smoke", source="hf"
         )
+
+
+def test_import_torch_checkpoint_shape_mismatch_raises(tmp_path):
+    """A source checkpoint whose leaves disagree with the target preset's
+    shapes (e.g. a different num_queries) must fail the import loudly —
+    not write a corrupt step-0 checkpoint that only breaks at restore."""
+    from arsvt_tpu.models.convert import import_torch_checkpoint
+    from arsvt_tpu.models.registry import DETECTOR_PRESETS
+
+    det = DETECTOR_PRESETS["detector_test"]
+    path = str(tmp_path / "ref.pth")
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in
+         _reference_detector_state(det)["model_state_dict"].items()},
+        path,
+    )
+    with pytest.raises(ValueError, match="shape"):
+        import_torch_checkpoint(
+            path, str(tmp_path / "out"), train_preset="deit_detector_ref",
+            source="reference",
+            # detector_test_wide? use a preset whose query count differs
+            overrides={"preset": "detector_test", "batch_size": 2,
+                       "num_classes": 3},  # head shape disagrees
+        )

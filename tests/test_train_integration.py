@@ -402,3 +402,52 @@ def test_training_is_deterministic_for_fixed_seed():
     l2, p2 = run()
     assert l1 == l2
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_best_checkpoint_gc_keeps_latest_and_best(tmp_path, cpu_mesh):
+    """orbax best_fn alone would garbage-collect the LATEST checkpoint
+    whenever its val_loss is not among the best — deleting the resume
+    point of any overfitting run. The manager must keep latest-N for
+    resume AND the single best for deployment."""
+    from arsvt_tpu.train.checkpoint import CheckpointManager
+
+    cfg = TRAIN_PRESETS["smoke"]
+    mgr = CheckpointManager(str(tmp_path / "ck"), cfg, keep=2,
+                            best_metric="val_loss")
+    init_fn, _, _ = make_classifier_step_fns(cfg, mesh=cpu_mesh)
+    state = jax.device_get(init_fn(jax.random.PRNGKey(0)))
+    # best at step 1, then the run overfits (worsening val loss)
+    for step, loss in [(1, 0.5), (2, 0.8), (3, 0.9), (4, 1.0)]:
+        mgr.save(step, state, metrics={"val_loss": loss})
+    # a metric-less periodic save (no eval at that step) must also survive
+    # as the most recent
+    mgr.save(5, state)
+    mgr.wait()
+    assert mgr.latest_step == 5          # resume point survives
+    assert mgr.best_step == 1            # best survives GC
+    restored, _ = mgr.restore(state, step=1)
+    assert int(restored["step"]) == int(state["step"])
+    mgr.close()
+
+
+def test_evaluate_weights_ragged_batches(cpu_mesh):
+    """val loss is a per-example mean: a 1-image tail batch must not get
+    the same vote as a full batch (mean-of-means bias)."""
+    cfg = TRAIN_PRESETS["smoke"]
+
+    def fake_eval(params, batch):
+        b = batch["image"].shape[0]
+        return {"loss": np.float32(1.0 if b == 4 else 0.0)}
+
+    init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh=cpu_mesh)
+    tr = Trainer(cfg, mesh=cpu_mesh, step_fns=(init_fn, train_step,
+                                               fake_eval))
+    tr.init_state()
+    batches = iter([
+        {"image": np.zeros((4, 32, 32, 3), np.float32),
+         "label": np.zeros((4,), np.int32)},
+        {"image": np.zeros((1, 32, 32, 3), np.float32),
+         "label": np.zeros((1,), np.int32)},
+    ])
+    out = tr.evaluate(batches)
+    np.testing.assert_allclose(out["loss"], 4.0 / 5.0)  # not 0.5
