@@ -35,25 +35,29 @@ def main(argv=None):
     # read the training config back out of the checkpoint first
     import orbax.checkpoint as ocp
 
-    from arsvt_tpu.train.config import TrainConfig
+    from arsvt_tpu.train.checkpoint import peek_config
 
     mgr = ocp.CheckpointManager(args.checkpoint_dir)
-    step = args.step if args.step is not None else mgr.latest_step()
+    try:
+        step = args.step if args.step is not None else mgr.latest_step()
+    finally:
+        mgr.close()
     if step is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
-    cfg_json = mgr.restore(
-        step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
-    )["config"]["train_config"]
-    mgr.close()
-    cfg = TrainConfig.from_json(cfg_json)
+    cfg = peek_config(args.checkpoint_dir, step=step)
     print(f"checkpoint step {step}: preset={cfg.preset} task={cfg.task}",
           file=sys.stderr)
 
+    from arsvt_tpu.train.checkpoint import load_params_for_eval
     from arsvt_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg.with_overrides(checkpoint_dir=args.checkpoint_dir))
     trainer.init_state()
-    trainer.state, _ = trainer.ckpt.restore(trainer.state, step=step)
+    # params-only partial restore: eval never touches the Adam moments
+    # (~2x the parameter bytes of disk reads a full restore would do)
+    trainer.state["params"], _ = load_params_for_eval(
+        args.checkpoint_dir, trainer.cfg, trainer.state["params"], step=step
+    )
 
     data_dir = args.data_dir or cfg.data_dir
     if not data_dir:
@@ -64,27 +68,16 @@ def main(argv=None):
         classification_batches,
         detection_batches,
     )
+    from arsvt_tpu.train.config import input_canvas
 
     ds = CocoDataset(f"{data_dir}/{args.split}")
-
-    # augment="none" checkpoints expect model-native-size inputs (the eval
-    # step applies no resize); augmented ones resize from the canvas inside
-    # eval_pre — mirror train/cli.py's rule
-    if cfg.augment == "none":
-        from arsvt_tpu.train.config import resolve_backbone, resolve_detector
-
-        canvas = cfg.image_size or (
-            resolve_detector(cfg).backbone.image_size
-            if cfg.task == "detect" else resolve_backbone(cfg).image_size
-        )
-    else:
-        canvas = cfg.canvas
+    canvas = input_canvas(cfg)
 
     if cfg.task == "detect":
         from arsvt_tpu.evaluation.detect import evaluate_detector
 
         if args.visualize:
-            _visualize_first_batches(trainer, ds, cfg, args)
+            _visualize_first_batches(trainer, ds, cfg, args, canvas)
         batches = detection_batches(
             ds, batch_size=args.batch_size, canvas=canvas,
             max_objects=cfg.max_objects, repeat=False, shuffle=False,
@@ -110,18 +103,12 @@ def main(argv=None):
     return results
 
 
-def _visualize_first_batches(trainer, ds, cfg, args):
+def _visualize_first_batches(trainer, ds, cfg, args, canvas):
     """The reference's first-batches PNG dump (evaluation.py:505-519)."""
     from arsvt_tpu.data.pipeline import detection_batches
     from arsvt_tpu.evaluation.detect import post_process
     from arsvt_tpu.evaluation.visualize import visualize_batch
-    from arsvt_tpu.train.config import resolve_detector
 
-    if cfg.augment != "none":
-        canvas = cfg.canvas
-    else:
-        canvas = cfg.image_size or resolve_detector(cfg).backbone.image_size
-    n_batches = max(1, (args.visualize + 1) // 2)
     it = detection_batches(
         ds, batch_size=args.batch_size, canvas=canvas,
         max_objects=cfg.max_objects, repeat=False, shuffle=False,
@@ -129,7 +116,7 @@ def _visualize_first_batches(trainer, ds, cfg, args):
     )
     saved = []
     for bi, batch in enumerate(it):
-        if bi >= n_batches or len(saved) >= args.visualize:
+        if len(saved) >= args.visualize:
             break
         m = trainer.eval_step(trainer.state["params"], batch)
         out = m["outputs"]

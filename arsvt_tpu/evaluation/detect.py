@@ -20,14 +20,19 @@ import numpy as np
 from arsvt_tpu.objectives.boxes import cxcywh_to_xyxy
 
 
-@partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold",
-                                   "class_aware"))
+@partial(jax.jit, static_argnames=("class_aware",))
 def post_process(class_logits, boxes_cxcywh, *, conf_threshold: float = 0.5,
                  nms_threshold: float = 0.5, class_aware: bool = True):
     """(B,Q,C+1) logits + (B,Q,4) cxcywh -> masked detections.
 
     Returns {"boxes": (B,Q,4) xyxy, "labels": (B,Q), "scores": (B,Q),
     "valid": (B,Q) bool} sorted by score within each image.
+
+    The thresholds are traced operands (they only feed elementwise
+    comparisons): a PR-curve sweep — or just evaluating at both the AP
+    floor and the user threshold — reuses ONE compiled executable instead
+    of recompiling per (conf, nms) pair (minutes each through a remote-
+    compile TPU tunnel).
     """
     probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
     fg = probs[..., :-1]  # exclude background (last index)
@@ -256,15 +261,19 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
     practice and the device post-process cost is halved).
     """
     predictions, ap_predictions, ground_truths = [], [], []
-    total_loss, n_batches = 0.0, 0
+    total_loss, n_batches, weight_total = 0.0, 0, 0.0
     parts_sum: dict = {}
     for batch in batches:
         m = eval_step(params, batch)
-        total_loss += float(m["loss"])
+        # losses are per-example means: weight by batch size so a ragged
+        # final batch (drop_remainder=False) doesn't skew the sweep
+        weight = float(np.asarray(batch["image"]).shape[0])
+        weight_total += weight
+        total_loss += float(m["loss"]) * weight
         for k, v in m.items():
             if k in ("outputs", "loss"):
                 continue
-            parts_sum[k] = parts_sum.get(k, 0.0) + float(v)
+            parts_sum[k] = parts_sum.get(k, 0.0) + float(v) * weight
         p, ap_p, g = collect_batch_detections(
             m["outputs"], batch, conf_threshold=conf_threshold,
             nms_threshold=nms_threshold,
@@ -277,9 +286,9 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
     ap = average_precision(
         ap_predictions, ground_truths, num_classes=num_classes
     )
-    result = {"loss": total_loss / max(n_batches, 1), **ap}
+    result = {"loss": total_loss / max(weight_total, 1.0), **ap}
     for k, v in parts_sum.items():
-        result[k] = v / max(n_batches, 1)
+        result[k] = v / max(weight_total, 1.0)
     # the reference's count statistics (evaluation.py:593-615): total and
     # per-class prediction counts, per-image average — kept alongside the
     # real metrics it never computed

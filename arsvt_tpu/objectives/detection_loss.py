@@ -56,8 +56,17 @@ def detection_loss(outputs, targets, cfg: DetectionLossConfig,
     """
     logits = outputs["class_logits"].astype(jnp.float32)
     pred_boxes = outputs["boxes_cxcywh"].astype(jnp.float32)
-    b, q, num_logits = logits.shape
+    num_logits = logits.shape[-1]
     c = cfg.num_classes
+    if num_logits != c + 1:
+        # shapes are static at trace time, so this fails the jit trace —
+        # without it take_along_axis clamps out-of-range class targets
+        # (incl. the background index) and silently trains real objects
+        # toward the last foreground class
+        raise ValueError(
+            f"class_logits last dim is {num_logits}, expected "
+            f"num_classes+1 = {c + 1} — head and loss config disagree"
+        )
     tgt_boxes = targets["boxes"].astype(jnp.float32)
     tgt_labels = targets["labels"]
     tgt_mask = targets["mask"]

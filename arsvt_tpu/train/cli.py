@@ -112,19 +112,9 @@ def make_data(cfg: TrainConfig):
             f"pass --num-classes {train_ds.num_classes} (labels beyond "
             f"num_classes would silently contribute zero CE gradient)"
         )
-    # with augment="none" the jitted step applies no crop/resize, so batches
-    # must arrive at the model's native size — letterbox straight to
-    # image_size instead of the (larger) augmentation canvas
-    if cfg.augment != "none":
-        canvas = cfg.canvas
-    elif cfg.image_size:
-        canvas = cfg.image_size
-    elif cfg.task == "detect":
-        from arsvt_tpu.train.config import resolve_detector
+    from arsvt_tpu.train.config import input_canvas
 
-        canvas = resolve_detector(cfg).backbone.image_size
-    else:
-        canvas = resolve_backbone(cfg).image_size
+    canvas = input_canvas(cfg)
     host_shard = dict(process_index=pidx, process_count=pcount)
     if cfg.task == "detect":
         train = detection_batches(

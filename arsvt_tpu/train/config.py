@@ -136,6 +136,24 @@ def resolve_detector(cfg: TrainConfig) -> DetectorConfig:
     return det
 
 
+def input_canvas(cfg: TrainConfig) -> int:
+    """Host-pipeline letterbox size for this config.
+
+    With augment="none" the jitted step applies no crop/resize, so batches
+    must arrive at the model's native size; augmented configs letterbox to
+    the (larger) augmentation canvas and the step crops/resizes on device.
+    The ONE copy of this rule — the train CLI, the eval CLI, and the
+    visualizer all derive from it (divergent copies would re-create the
+    reference's evaluate-at-the-wrong-size bug class, SURVEY §3.4)."""
+    if cfg.augment != "none":
+        return cfg.canvas
+    if cfg.image_size:
+        return cfg.image_size
+    if cfg.task == "detect":
+        return resolve_detector(cfg).backbone.image_size
+    return resolve_backbone(cfg).image_size
+
+
 # Named train presets mirroring BASELINE.json's config matrix.
 TRAIN_PRESETS: dict[str, TrainConfig] = {
     "smoke": TrainConfig(

@@ -99,3 +99,23 @@ def test_cli_rejects_class_count_mismatch(tmp_path):
     with pytest.raises(SystemExit, match="7 classes"):
         cli.main(["--preset", "vit_test_8_32",
                   "--data-dir", str(tmp_path / "seven"), "--steps", "1"])
+
+
+def test_input_canvas_rule():
+    """ONE copy of the letterbox-size rule (train CLI, eval CLI and the
+    visualizer all derive from it)."""
+    from arsvt_tpu.train.config import TRAIN_PRESETS, input_canvas
+
+    smoke = TRAIN_PRESETS["smoke"]
+    # augmented: the (larger) augmentation canvas
+    assert input_canvas(smoke.with_overrides(augment="crop_flip",
+                                             canvas=96)) == 96
+    # augment=none: the model's native size
+    assert input_canvas(smoke.with_overrides(augment="none")) == 32
+    # explicit image_size override wins
+    assert input_canvas(smoke.with_overrides(augment="none",
+                                             image_size=64)) == 64
+    det = smoke.with_overrides(preset="detector_test", task="detect",
+                               augment="none")
+    from arsvt_tpu.train.config import resolve_detector
+    assert input_canvas(det) == resolve_detector(det).backbone.image_size

@@ -348,3 +348,26 @@ def test_lap_rect_matches_scipy(q, m):
             c[row_for_col, np.arange(m)].sum(), c[rows, cols].sum(),
             rtol=1e-5,
         )
+
+
+def test_detection_loss_rejects_head_mismatch():
+    """num_classes disagreement with the head must fail the trace, not
+    silently clamp class targets into the last foreground class."""
+    import pytest
+
+    from arsvt_tpu.objectives.detection_loss import (
+        DetectionLossConfig,
+        detection_loss,
+    )
+
+    outputs = {
+        "class_logits": jnp.zeros((1, 5, 7)),   # 6-class head (C+1 = 7)
+        "boxes_cxcywh": jnp.full((1, 5, 4), 0.5),
+    }
+    targets = {
+        "boxes": jnp.full((1, 3, 4), 0.4),
+        "labels": jnp.zeros((1, 3), jnp.int32),
+        "mask": jnp.ones((1, 3), bool),
+    }
+    with pytest.raises(ValueError, match="num_classes"):
+        detection_loss(outputs, targets, DetectionLossConfig(num_classes=10))
