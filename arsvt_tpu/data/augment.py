@@ -82,16 +82,30 @@ def color_jitter(key, image, *, brightness=0.2, contrast=0.2, saturation=0.2,
 
     `hue` follows the torchvision/albumentations convention: a shift of the
     hue wheel in turns (0.5 = 180°), so the rotation is hue * 2π radians.
+
+    The four adjustments are applied in a RANDOM ORDER per call, matching
+    torchvision/albumentations ColorJitter (train.py:427-433) — the ops do
+    not commute, so a fixed order would produce a (slightly) different
+    augmentation distribution. Implemented as a static 4-slot loop with a
+    switch over the op index per slot; under vmap every branch is computed
+    and selected (4x the elementwise passes), still negligible next to the
+    affine warp.
     """
-    kp, kb, kc, ks, kh = jax.random.split(key, 5)
+    kp, ko, kb, kc, ks, kh = jax.random.split(key, 6)
     b = jax.random.uniform(kb, (), minval=1 - brightness, maxval=1 + brightness)
     c = jax.random.uniform(kc, (), minval=1 - contrast, maxval=1 + contrast)
     s = jax.random.uniform(ks, (), minval=1 - saturation, maxval=1 + saturation)
     h = jax.random.uniform(kh, (), minval=-hue, maxval=hue) * 2.0 * jnp.pi
-    out = adjust_brightness(image, b)
-    out = adjust_contrast(out, c)
-    out = adjust_saturation(out, s)
-    out = adjust_hue(out, h)
+    ops = (
+        lambda im: adjust_brightness(im, b),
+        lambda im: adjust_contrast(im, c),
+        lambda im: adjust_saturation(im, s),
+        lambda im: adjust_hue(im, h),
+    )
+    perm = jax.random.permutation(ko, 4)
+    out = image
+    for slot in range(4):
+        out = jax.lax.switch(perm[slot], ops, out)
     out = jnp.clip(out, 0.0, 1.0)
     apply = jax.random.bernoulli(kp, p)
     return jnp.where(apply, out, image)

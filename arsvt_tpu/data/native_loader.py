@@ -148,15 +148,33 @@ def decode_image(path: str) -> np.ndarray:
     return out
 
 
+def _native_resized_dims(orig_w: int, orig_h: int, canvas: int):
+    """The EXACT resized dims the C++ core produced (arsvt_loader.cpp
+    letterbox_into): integer box-reduce by k first for >=2x downscales,
+    then float32 scale + lround. Recomputing with Python round() on the
+    original dims diverges by 1px on odd-width >=2x downscales (banker's
+    rounding on fp64 vs lround on fp32 post-reduce) — enough to misalign a
+    GT box edge from the letterboxed pixels."""
+    s0 = np.float32(canvas) / np.float32(max(orig_w, orig_h))
+    k = max(1, int(1.0 / max(float(s0), 1e-6)))  # C++ int() truncation
+    w, h = orig_w, orig_h
+    if k >= 2:
+        w, h = max(1, orig_w // k), max(1, orig_h // k)
+    scale = np.float32(canvas) / np.float32(max(w, h))
+    # lround = round half away from zero (positive: floor(x + 0.5))
+    nw = max(1, int(np.floor(np.float32(w) * scale + np.float32(0.5))))
+    nh = max(1, int(np.floor(np.float32(h) * scale + np.float32(0.5))))
+    return nw, nh
+
+
 def box_transform_from_meta(meta_row, canvas: int):
     """Reproduce pipeline.letterbox's box transform from native meta."""
-    scale, pad_x, pad_y = float(meta_row[0]), float(meta_row[1]), float(meta_row[2])
+    pad_x, pad_y = float(meta_row[1]), float(meta_row[2])
 
     def transform(boxes: np.ndarray, orig_w: int, orig_h: int) -> np.ndarray:
         if boxes.size == 0:
             return boxes
-        nw = max(int(round(orig_w * scale)), 1)
-        nh = max(int(round(orig_h * scale)), 1)
+        nw, nh = _native_resized_dims(orig_w, orig_h, canvas)
         px = boxes * np.array([nw, nh, nw, nh], np.float32)
         px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
         return px / canvas

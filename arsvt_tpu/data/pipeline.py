@@ -44,17 +44,13 @@ def load_image_u8(path: str) -> np.ndarray:
     return np.asarray(_open_upright(path), np.uint8)
 
 
-def letterbox_u8(image: np.ndarray, canvas: int):
-    """uint8 resize-longest-side + center reflect-pad to square.
-
-    Returns (uint8 canvas image, box_transform mapping normalized
-    x1y1x2y2 boxes of the original image to the canvas)."""
-    h, w = image.shape[:2]
-    scale = canvas / max(h, w)
-    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    if (nh, nw) != (h, w):
-        im = Image.fromarray(image)
-        image = np.asarray(im.resize((nw, nh), Image.BILINEAR), np.uint8)
+def _pad_and_box_transform(image: np.ndarray, canvas: int):
+    """Center-pad an (nh, nw, 3) image to the square canvas; returns the
+    padded image and the normalized-box remap. The ONE copy of the pad
+    arithmetic + box transform shared by the uint8 and float letterbox
+    paths (the native C++ path mirrors it via
+    native_loader.box_transform_from_meta)."""
+    nh, nw = image.shape[:2]
     pad_y, pad_x = (canvas - nh) // 2, (canvas - nw) // 2
     out = np.pad(
         image,
@@ -72,6 +68,20 @@ def letterbox_u8(image: np.ndarray, canvas: int):
     return out, box_transform
 
 
+def letterbox_u8(image: np.ndarray, canvas: int):
+    """uint8 resize-longest-side + center reflect-pad to square.
+
+    Returns (uint8 canvas image, box_transform mapping normalized
+    x1y1x2y2 boxes of the original image to the canvas)."""
+    h, w = image.shape[:2]
+    scale = canvas / max(h, w)
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    if (nh, nw) != (h, w):
+        im = Image.fromarray(image)
+        image = np.asarray(im.resize((nw, nh), Image.BILINEAR), np.uint8)
+    return _pad_and_box_transform(image, canvas)
+
+
 def letterbox(image: np.ndarray, canvas: int):
     """fp32 [0,1] variant of `letterbox_u8` (same resize rounding).
 
@@ -79,23 +89,7 @@ def letterbox(image: np.ndarray, canvas: int):
     quantized through uint8 — off-grid fp32 pixels survive exactly."""
     if (np.issubdtype(image.dtype, np.floating)
             and max(image.shape[:2]) == canvas):
-        h, w = image.shape[:2]
-        pad_y, pad_x = (canvas - h) // 2, (canvas - w) // 2
-        out = np.pad(
-            image.astype(np.float32),
-            ((pad_y, canvas - h - pad_y), (pad_x, canvas - w - pad_x),
-             (0, 0)),
-            mode="reflect" if min(h, w) > 1 else "edge",
-        )
-
-        def box_transform(boxes: np.ndarray) -> np.ndarray:
-            if boxes.size == 0:
-                return boxes
-            px = boxes * np.array([w, h, w, h], np.float32)
-            px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
-            return px / canvas
-
-        return out, box_transform
+        return _pad_and_box_transform(image.astype(np.float32), canvas)
     u8, box_transform = letterbox_u8(
         np.rint(image * 255).astype(np.uint8)
         if np.issubdtype(image.dtype, np.floating) else image,
@@ -152,29 +146,36 @@ class Prefetcher:
     """
 
     def __init__(self, it: Iterator, depth: int = 2):
-        self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._done = object()
-        self._err: BaseException | None = None
-        self._stop = threading.Event()
+        # the worker closure must capture only these LOCALS, never `self`:
+        # a worker referencing self keeps the Prefetcher reachable for as
+        # long as the thread lives, so __del__ could never fire and an
+        # abandoned iterator (e.g. a caller breaking out of its loop
+        # without close()) would leak the thread plus `depth` decoded
+        # batches for the rest of the process
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        done = object()
+        err: list[BaseException] = []
+        stop = threading.Event()
+        self._q, self._done, self._err, self._stop = q, done, err, stop
         self._exhausted = False
 
         def worker():
             try:
                 for item in it:
-                    while not self._stop.is_set():
+                    while not stop.is_set():
                         try:
-                            self._q.put(item, timeout=0.5)
+                            q.put(item, timeout=0.5)
                             break
                         except queue.Full:
                             continue
-                    if self._stop.is_set():
+                    if stop.is_set():
                         return
             except BaseException as e:  # surfaced on next()
-                self._err = e
+                err.append(e)
             finally:
-                while not self._stop.is_set():
+                while not stop.is_set():
                     try:
-                        self._q.put(self._done, timeout=0.5)
+                        q.put(done, timeout=0.5)
                         break
                     except queue.Full:
                         continue
@@ -205,10 +206,23 @@ class Prefetcher:
                     raise StopIteration from None
         if item is self._done:
             self._exhausted = True
-            if self._err is not None:
-                raise self._err
+            if self._err:
+                raise self._err[0]
             raise StopIteration
         return item
+
+
+def _raise_empty_shard(shard_len: int, batch_size: int,
+                       process_index: int, process_count: int):
+    """A repeating shard that fills no batch would otherwise busy-spin the
+    generator forever — training blocks in next() with a pegged core and no
+    error (worse on pods: one starved host deadlocks the first collective
+    while the others proceed)."""
+    raise RuntimeError(
+        f"data shard {process_index}/{process_count} has {shard_len} usable"
+        f" records — no batch of {batch_size} can ever fill with "
+        f"drop_remainder; lower batch_size or add data"
+    )
 
 
 def detection_batches(
@@ -244,6 +258,7 @@ def detection_batches(
             if shuffle:
                 rng.shuffle(order)
             order = order[process_index::process_count]
+            yielded = False
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
@@ -276,9 +291,13 @@ def detection_batches(
                     "iscrowd": np.stack(crowds),
                     "image_id": np.asarray(ids, np.int32),
                 }
+                yielded = True
             epoch += 1
             if not repeat:
                 return
+            if not yielded:
+                _raise_empty_shard(len(order), batch_size,
+                                   process_index, process_count)
 
     return Prefetcher(gen(), depth=prefetch)
 
@@ -312,6 +331,7 @@ def classification_batches(
             if shuffle:
                 rng.shuffle(order)
             order = order[process_index::process_count]
+            yielded = False
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
@@ -324,7 +344,11 @@ def classification_batches(
                     "image": images,
                     "label": labels_all[idxs].astype(np.int32),
                 }
+                yielded = True
             if not repeat:
                 return
+            if not yielded:
+                _raise_empty_shard(len(order), batch_size,
+                                   process_index, process_count)
 
     return Prefetcher(gen(), depth=prefetch)

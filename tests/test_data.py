@@ -529,3 +529,105 @@ def test_synthetic_shapes_deterministic():
     b = next(synthetic_shape_batches(batch_size=4, image_size=16, seed=3))
     np.testing.assert_array_equal(a["image"], b["image"])
     np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_prefetcher_abandoned_iterator_is_collected():
+    """The worker closure must not capture the Prefetcher: a live thread
+    referencing self keeps it reachable forever, so abandoning the
+    iterator (no close()) would leak the thread + queued batches for the
+    life of the process."""
+    import gc
+    import threading
+
+    from arsvt_tpu.data.pipeline import Prefetcher
+
+    def infinite():
+        while True:
+            yield np.zeros((4, 4))
+
+    before = threading.active_count()
+    p = Prefetcher(infinite(), depth=2)
+    next(p)
+    thread = p._t
+    del p
+    gc.collect()
+    thread.join(timeout=5)
+    assert not thread.is_alive(), "abandoned Prefetcher thread still running"
+    assert threading.active_count() <= before + 1
+
+
+def test_repeating_empty_shard_raises_not_hangs(tmp_path):
+    """batch_size larger than the (shard of the) dataset with
+    drop_remainder used to busy-spin forever; it must raise."""
+    from arsvt_tpu.data.coco import CocoDataset
+    from arsvt_tpu.data.pipeline import detection_batches
+    from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+    root = make_synthetic_coco(
+        str(tmp_path / "coco"), splits=("train",), images_per_split=3,
+        image_size=16, max_boxes=1,
+    )
+    ds = CocoDataset(root + "/train")
+    it = detection_batches(ds, batch_size=8, canvas=16, max_objects=2,
+                           repeat=True, drop_remainder=True)
+    with pytest.raises(RuntimeError, match="no batch of 8"):
+        next(it)
+
+
+def test_native_resized_dims_match_cpp_rounding():
+    """Python round() (banker's, fp64, pre-reduce) diverged from the C++
+    lround-on-fp32-post-reduce by 1px on odd-width >=2x downscales: an
+    11x64 image at canvas 32 box-reduces to 5x32 and resizes to 5x32, but
+    round(11 * 0.5) = 6 put GT box edges 1px past the pixels."""
+    from arsvt_tpu.data.native_loader import _native_resized_dims
+
+    assert _native_resized_dims(11, 64, 32) == (5, 32)
+    assert _native_resized_dims(64, 11, 32) == (32, 5)
+    # no-reduce path: plain lround
+    assert _native_resized_dims(48, 64, 32) == (24, 32)
+    # identity
+    assert _native_resized_dims(32, 32, 32) == (32, 32)
+
+
+def test_color_jitter_applies_random_order():
+    """torchvision/albumentations ColorJitter applies the four adjustments
+    in a RANDOM order (they don't commute); pin the implementation by
+    reconstructing the expected composition from the same key splits."""
+    import jax
+
+    from arsvt_tpu.data.augment import (
+        adjust_brightness,
+        adjust_contrast,
+        adjust_hue,
+        adjust_saturation,
+        color_jitter,
+    )
+
+    key = jax.random.PRNGKey(11)
+    image = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 3))
+    out = color_jitter(key, image, p=1.0)
+
+    _, ko, kb, kc, ks, kh = jax.random.split(key, 6)
+    b = jax.random.uniform(kb, (), minval=0.8, maxval=1.2)
+    c = jax.random.uniform(kc, (), minval=0.8, maxval=1.2)
+    s = jax.random.uniform(ks, (), minval=0.8, maxval=1.2)
+    h = jax.random.uniform(kh, (), minval=-0.2, maxval=0.2) * 2.0 * jnp.pi
+    ops = [
+        lambda im: adjust_brightness(im, b),
+        lambda im: adjust_contrast(im, c),
+        lambda im: adjust_saturation(im, s),
+        lambda im: adjust_hue(im, h),
+    ]
+    expected = image
+    for idx in np.asarray(jax.random.permutation(ko, 4)):
+        expected = ops[int(idx)](expected)
+    expected = jnp.clip(expected, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-6)
+    # and the order genuinely varies across keys
+    perms = {
+        tuple(np.asarray(jax.random.permutation(
+            jax.random.split(jax.random.PRNGKey(k), 6)[1], 4)))
+        for k in range(20)
+    }
+    assert len(perms) > 1
