@@ -64,5 +64,12 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def single_device_mesh() -> Mesh:
-    return make_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+def single_device_mesh(platform: str | None = None) -> Mesh:
+    """1x1 mesh honoring the same ARSVT_PLATFORM pin as make_mesh — a bare
+    jax.devices() here would initialize every registered plugin (a dead
+    TPU tunnel hangs that forever, the round-1 driver failure mode)."""
+    import os
+
+    platform = platform or os.environ.get("ARSVT_PLATFORM") or None
+    devices = (jax.devices(platform) if platform else jax.devices())[:1]
+    return make_mesh(MeshConfig(data=1, model=1), devices=devices)

@@ -23,12 +23,14 @@ from arsvt_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 _COL = "col"  # output-feature sharded: qkv / fc1 kernels and biases
 _ROW = "row"  # input-feature sharded: proj / fc2 kernels
 _TP_RULES: list[tuple[str, str]] = [
+    # NOTE: `.*attn/proj/kernel$` also matches cross_attn proj paths (the
+    # `.*` absorbs the `cross_` prefix) — self- and cross-attention output
+    # projections deliberately share the _ROW layout, ONE rule for both.
     (r".*attn/qkv/kernel$", _COL),
     (r".*attn/qkv/bias$", _COL),
     (r".*attn/proj/kernel$", _ROW),
     (r".*cross_attn/(q|kv)/kernel$", _COL),
     (r".*cross_attn/(q|kv)/bias$", _COL),
-    (r".*cross_attn/proj/kernel$", _ROW),
     (r".*mlp/fc1/kernel$", _COL),
     (r".*mlp/fc1/bias$", _COL),
     (r".*mlp/fc2/kernel$", _ROW),

@@ -9,6 +9,7 @@ on importability, never a hard dependency.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -39,11 +40,17 @@ class MetricLogger:
         for k, v in metrics.items():
             key = f"{prefix}{k}"
             try:
-                rec[key] = float(v)
+                f = float(v)
+                # bare NaN/Infinity tokens are invalid JSON (RFC 8259) —
+                # they'd corrupt metrics.jsonl exactly when a diverged run
+                # needs post-mortem parsing; stringify instead
+                rec[key] = f if math.isfinite(f) else str(f)
             except (TypeError, ValueError):
-                rec[key] = v
+                # arrays (confusion matrices, per-class vectors) and other
+                # non-scalars must still produce a valid JSON line
+                rec[key] = v.tolist() if hasattr(v, "tolist") else v
         if self._fh:
-            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.write(json.dumps(rec, default=str) + "\n")
             self._fh.flush()
         if self._wandb:
             self._wandb.log(rec, step=step)

@@ -41,8 +41,11 @@ class StepTimer:
         self._t0 = time.perf_counter()
         return self
 
-    def __exit__(self, *exc):
-        self._times.append(time.perf_counter() - self._t0)
+    def __exit__(self, exc_type, *exc):
+        # a step body that raised exited early — recording its partial
+        # duration would pollute the mean/p50/p99 summary
+        if exc_type is None:
+            self._times.append(time.perf_counter() - self._t0)
 
     def summary(self) -> dict:
         times = np.asarray(self._times[self._warmup:])
@@ -60,8 +63,16 @@ def assert_all_finite(tree, name: str = "tree"):
     bad = []
 
     def check(path, x):
+        # dtype.kind == "f" misses ml_dtypes customs (bfloat16/float8 have
+        # kind 'V') — in a bf16-first framework the guard must cover them,
+        # so test against jnp.inexact instead and upcast for isfinite
         arr = np.asarray(x)
-        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+        import jax.numpy as jnp
+
+        if jnp.issubdtype(arr.dtype, jnp.inexact) and not np.isfinite(
+            arr.astype(np.float32)
+            if arr.dtype.kind not in "fc" else arr
+        ).all():
             bad.append("/".join(
                 str(getattr(p, "key", getattr(p, "idx", p))) for p in path
             ))

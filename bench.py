@@ -48,6 +48,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 REFERENCE_GPU_IMG_S = 250.0
 TARGET = 5.0 * REFERENCE_GPU_IMG_S
 V5E_PEAK_TFLOPS = 197.0
+# this chip's measured matmul ceiling for D=768-contraction shapes
+# (benchmarks/ chip calibration; PERFORMANCE.md "Chip calibration")
+SHAPE_ROOFLINE_TFLOPS = 108.0
+
+
+def effective_tflops(train_ips: float, remat_policy: str) -> float:
+    """img/s -> effective TFLOP/s under the validated FLOP model — the ONE
+    copy of the formula (logged per run AND written into the artifact)."""
+    from arsvt_tpu.utils.flops import train_flops_multiplier
+
+    mult = train_flops_multiplier(remat_policy != "none", remat_policy)
+    return train_ips * mult * vit_b_fwd_gflops() / 1e3
 
 
 def log(*a):
@@ -116,18 +128,14 @@ def bench_train(batch_size: int = 512, steps: int = 20, warmup: int = 3,
     float(m["loss"])
     dt = time.perf_counter() - t0
     train_ips = batch_size * steps / dt
-    from arsvt_tpu.utils.flops import train_flops_multiplier
-
-    flops_mult = train_flops_multiplier(remat_policy != "none",
-                                        remat_policy)
-    fwd_g = vit_b_fwd_gflops()
-    tflops = train_ips * flops_mult * fwd_g / 1e3
+    tflops = effective_tflops(train_ips, remat_policy)
     log(f"train: {train_ips:.1f} img/s (batch {batch_size}, {steps} steps, "
         f"{dt/steps*1e3:.1f} ms/step), loss={float(m['loss']):.3f}")
     log(f"  effective {tflops:.1f} TFLOP/s = {tflops/V5E_PEAK_TFLOPS*100:.0f}% "
-        f"of v5e peak; ~108 TFLOP/s is this chip's measured roofline for "
-        f"D=768-contraction matmuls (benchmarks/), so the step runs at "
-        f"~{tflops/108*100:.0f}% of the shape-specific roofline")
+        f"of v5e peak; ~{SHAPE_ROOFLINE_TFLOPS:.0f} TFLOP/s is this chip's "
+        f"measured roofline for D=768-contraction matmuls (benchmarks/), so "
+        f"the step runs at ~{tflops/SHAPE_ROOFLINE_TFLOPS*100:.0f}% of the "
+        f"shape-specific roofline")
 
     # eval throughput at its own best batch (192 — eval is fwd-only and
     # peaks there; the train headline's accumulation is irrelevant to it)
@@ -344,7 +352,6 @@ def main():
 
     backend = _backend_or_die()
     log(f"backend: {backend}, devices: {jax.devices()}")
-    from arsvt_tpu.utils.flops import train_flops_multiplier
 
     train_ips, eval_ips, state = bench_train(
         batch_size=args.batch_size, remat_policy=args.remat_policy,
@@ -367,12 +374,10 @@ def main():
         "classify_p50_ms": round(stats["p50_ms"], 2),
     }
     result["effective_tflops"] = round(
-        train_ips * train_flops_multiplier(args.remat_policy != "none",
-                                           args.remat_policy)
-        * vit_b_fwd_gflops() / 1e3, 1,
+        effective_tflops(train_ips, args.remat_policy), 1
     )
     result["pct_of_chip_matmul_roofline"] = round(
-        result["effective_tflops"] / 108.0 * 100, 1
+        result["effective_tflops"] / SHAPE_ROOFLINE_TFLOPS * 100, 1
     )
     # the full BASELINE config matrix (VERDICT round-2 #9): configs #3
     # (batch-512 bf16+flash) and #4 (ViT-L/384) ride in the default driver

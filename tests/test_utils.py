@@ -97,3 +97,52 @@ def test_throughput_meter():
     assert 100 < r < 100 / 0.05 * 1.5  # images/sec over elapsed wall time
     m.reset()
     assert m.rate() == 0.0
+
+
+def test_assert_all_finite_catches_bf16():
+    """ml_dtypes customs (bfloat16: numpy kind 'V') must not slip past the
+    NaN guard in a bf16-first framework."""
+    import jax.numpy as jnp
+    import pytest
+
+    from arsvt_tpu.utils.profiling import assert_all_finite
+
+    good = {"w": jnp.ones((4,), jnp.bfloat16)}
+    assert_all_finite(good)  # no raise
+    bad = {"w": jnp.array([1.0, float("nan")], jnp.bfloat16)}
+    with pytest.raises(FloatingPointError, match="w"):
+        assert_all_finite(bad)
+
+
+def test_metric_logger_nonfinite_and_arrays_stay_valid_json(tmp_path):
+    """NaN/Infinity are invalid bare JSON tokens and arrays are not
+    serializable — both must still produce parseable metrics.jsonl lines
+    (post-mortem parsing matters most exactly when a run diverges)."""
+    import json
+
+    import numpy as np
+
+    from arsvt_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(out_dir=str(tmp_path), quiet=True)
+    lg.log(1, {"loss": float("nan"), "lr": float("inf"),
+               "confusion": np.eye(2, dtype=np.int64)})
+    lg.close()
+    lines = open(tmp_path / "metrics.jsonl").read().splitlines()
+    rec = json.loads(lines[-1])  # strict parser must accept the line
+    assert rec["loss"] == "nan" and rec["lr"] == "inf"
+    assert rec["confusion"] == [[1, 0], [0, 1]]
+
+
+def test_step_timer_skips_raising_steps():
+    import pytest
+
+    from arsvt_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=0)
+    with t:
+        pass
+    with pytest.raises(RuntimeError):
+        with t:
+            raise RuntimeError("boom")
+    assert t.summary()["steps"] == 1  # the aborted step is not recorded
