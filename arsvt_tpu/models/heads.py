@@ -48,7 +48,9 @@ class ClassifierConfig:
 
 
 def init_classifier(key, cfg: ClassifierConfig, embed_dim: int):
-    k1, k2 = jax.random.split(key)
+    # `key` is unused by design: zero-init classifier heads (standard
+    # fine-tune practice); kept for init-API symmetry
+    del key
     params = {
         "head": {
             "kernel": jnp.zeros((embed_dim, cfg.num_classes)),
@@ -60,7 +62,6 @@ def init_classifier(key, cfg: ClassifierConfig, embed_dim: int):
             "kernel": jnp.zeros((embed_dim, cfg.num_classes)),
             "bias": jnp.zeros((cfg.num_classes,)),
         }
-    del k1, k2  # zero-init classifier heads (standard fine-tune practice)
     return params
 
 

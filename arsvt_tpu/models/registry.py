@@ -32,10 +32,15 @@ PRESETS: dict[str, BackboneConfig] = {
         num_heads=16, mlp_dim=4096,
     ),
     # the reference's trained DeiT detector backbone (train.py:1345-1352):
-    # 400-dim, 25 heads (head_dim 16), CLS+DIST, dropout 0.1
+    # 400-dim, 25 heads (head_dim 16), CLS+DIST, dropout 0.1 — INCLUDING
+    # the attention-prob dropout (train.py:528,545), which belongs to the
+    # model preset itself so `--preset deit_detector_ref` alone is already
+    # reference-faithful (the train preset's attn_dropout=0.1 then matches
+    # rather than supplies it)
     "deit_ref_400_16_224": BackboneConfig(
         image_size=224, patch_size=16, embed_dim=400, depth=12,
-        num_heads=25, mlp_dim=1600, dropout=0.1, distilled=True,
+        num_heads=25, mlp_dim=1600, dropout=0.1, attn_dropout=0.1,
+        distilled=True,
     ),
     # mid-size demo backbone for the classification-generalization artifact
     # (benchmarks/classification_generalization_demo.py): big enough to
@@ -59,8 +64,11 @@ DETECTOR_PRESETS: dict[str, DetectorConfig] = {
     # reference train config: 5 queries, 6-layer decoder, 8 heads, ffn 2048
     "deit_detector_ref": DetectorConfig(
         backbone=PRESETS["deit_ref_400_16_224"],
+        # torch's TransformerDecoderLayer passes its dropout to the
+        # attention probs too (train.py:701-708), hence attn_dropout=0.1
         head=DetrHeadConfig(num_classes=6, num_queries=5, depth=6,
-                            num_heads=8, ffn_dim=2048, dropout=0.1),
+                            num_heads=8, ffn_dim=2048, dropout=0.1,
+                            attn_dropout=0.1),
     ),
     # reference eval-script config: ViT-B backbone, 100 queries
     # (evaluation.py:527-534)

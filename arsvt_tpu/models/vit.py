@@ -17,8 +17,9 @@ TPU-first design decisions vs. the reference:
   * attention is the dispatching `multi_head_attention` (Pallas flash on
     TPU). Dropout applies to the pos-embed, attention output, MLP output
     AND — via `attn_dropout` — to the attention probabilities, in-kernel
-    (stateless TPU-PRNG mask replayed in backward; rates default to the
-    reference's 0.1, train.py:1352).
+    (stateless TPU-PRNG mask replayed in backward). BackboneConfig rates
+    default to 0.0; the reference-faithful presets (`deit_ref_400_16_224`,
+    `deit_detector_ref`) carry its 0.1 for both (train.py:1352).
 """
 
 from __future__ import annotations

@@ -316,3 +316,29 @@ def test_portable_export_guard_forces_jnp_path(monkeypatch):
         assert use_pallas()  # TPU-only artifacts keep the kernels
     with _portable_trace_guard(None):
         assert use_pallas()
+
+
+def test_inference_bundle_loads_on_any_host_mesh(tmp_path):
+    """Serving must not rebuild the TRAINING mesh from the saved config: a
+    checkpoint trained with mesh_data=5 (or 8) has to serve on a 1-chip
+    box. load_inference_bundle is host-local and params-only."""
+    from arsvt_tpu.data.synthetic import synthetic_classification_batches
+    from arsvt_tpu.parallel.mesh import single_device_mesh
+    from arsvt_tpu.serving.loading import load_inference_bundle
+    from arsvt_tpu.train.config import TRAIN_PRESETS
+    from arsvt_tpu.train.trainer import Trainer
+
+    # cfg CLAIMS a 5-way data mesh (indivisible over this host's devices —
+    # rebuilding it would raise); train on an explicit 1x1 mesh instead
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=2, checkpoint_every=2, eval_every=10**9,
+        log_every=10**9, checkpoint_dir=str(tmp_path / "ck"),
+        mesh_data=5, batch_size=5,
+    )
+    tr = Trainer(cfg, mesh=single_device_mesh(platform="cpu"))
+    tr.fit(synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0))
+
+    params, loaded_cfg = load_inference_bundle(str(tmp_path / "ck"))
+    assert loaded_cfg.mesh_data == 5  # config round-trips untouched
+    assert "classifier" in params  # restored without a training mesh
