@@ -75,11 +75,18 @@ def check_unit_range_images(arr, context: str) -> None:
     import numpy as np
 
     a = np.asarray(arr)
-    if np.issubdtype(a.dtype, np.floating) and (
-            a.min() < -0.25 or a.max() > 1.25):
+    if not np.issubdtype(a.dtype, np.floating) or a.size == 0:
+        return  # uint8 is always in contract; empty batches have no range
+    lo, hi = a.min(), a.max()
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        raise ValueError(
+            f"{context} got non-finite pixel values — the forward would "
+            "silently produce NaN probabilities"
+        )
+    if lo < -0.25 or hi > 1.25:
         raise ValueError(
             f"{context} expects uint8 or [0,1]-float images and "
             f"normalizes inside the forward; got float range "
-            f"[{a.min():.2f}, {a.max():.2f}] — input looks already "
+            f"[{lo:.2f}, {hi:.2f}] — input looks already "
             "normalized or 0-255 scaled."
         )

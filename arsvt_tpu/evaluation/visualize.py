@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from arsvt_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from arsvt_tpu.data.augment import denormalize as _imagenet_denormalize
 from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
 
 _COLORS = ["tab:red", "tab:blue", "tab:green", "tab:orange", "tab:purple",
@@ -23,7 +23,8 @@ _COLORS = ["tab:red", "tab:blue", "tab:green", "tab:orange", "tab:purple",
 def _to_display(image: np.ndarray, *, denormalize: bool) -> np.ndarray:
     img = np.asarray(image, np.float32)
     if denormalize:
-        img = img * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+        # the one normalization rule lives in data/augment.py
+        img = np.asarray(_imagenet_denormalize(img), np.float32)
     return np.clip(img, 0.0, 1.0)
 
 

@@ -51,7 +51,12 @@ def _strip_prefix(state: dict) -> dict:
 
 
 def from_pretrained_state(state: dict, cfg: BackboneConfig) -> dict:
-    """Convert a torch state dict (numpy-convertible values) to our params."""
+    """Convert a torch state dict (numpy-convertible values) to our params.
+
+    NOTE: LayerNorm eps is a config, not a weight — converted checkpoints
+    should run with the SOURCE model's value (`cfg.ln_eps`: timm ViT 1e-6,
+    HF ViT layer_norm_eps, typically 1e-12; our default is torch's 1e-5).
+    """
     state = {k: np.asarray(v) for k, v in state.items()}
     source = detect_source(_strip_prefix(state))
     if source == "hf":

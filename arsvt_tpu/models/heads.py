@@ -115,6 +115,7 @@ class DetrHeadConfig:
     ffn_dim: int = 2048           # train.py:704
     dropout: float = 0.0
     attn_dropout: float = 0.0     # on attention probs (see BackboneConfig)
+    ln_eps: float = 1e-5          # torch nn.LayerNorm default (see BackboneConfig)
 
 
 def init_detr_head(key, cfg: DetrHeadConfig, embed_dim: int):
@@ -189,7 +190,8 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
     attn_rate = cfg.attn_dropout if train else 0.0
 
     # self-attention over queries
-    y = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"])
+    y = layer_norm(x, bp["ln_self"]["scale"], bp["ln_self"]["bias"],
+                   eps=cfg.ln_eps)
     qkv = (jnp.dot(y, bp["self_attn"]["qkv"]["kernel"].astype(y.dtype))
            + bp["self_attn"]["qkv"]["bias"].astype(x.dtype))
     # decoder self-attn is tiny (Q<=100 queries): the packed-reference path
@@ -201,8 +203,10 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
     x = x + dropout(sa, cfg.dropout, k1, train=train)
 
     # cross-attention to patch tokens
-    yq = layer_norm(x, bp["ln_cross_q"]["scale"], bp["ln_cross_q"]["bias"])
-    ykv = layer_norm(memory, bp["ln_cross_kv"]["scale"], bp["ln_cross_kv"]["bias"])
+    yq = layer_norm(x, bp["ln_cross_q"]["scale"],
+                    bp["ln_cross_q"]["bias"], eps=cfg.ln_eps)
+    ykv = layer_norm(memory, bp["ln_cross_kv"]["scale"],
+                     bp["ln_cross_kv"]["bias"], eps=cfg.ln_eps)
     xq = (jnp.dot(yq, bp["cross_attn"]["q"]["kernel"].astype(yq.dtype))
           + bp["cross_attn"]["q"]["bias"].astype(x.dtype))
     xkv = (jnp.dot(ykv, bp["cross_attn"]["kv"]["kernel"].astype(ykv.dtype))
@@ -214,7 +218,8 @@ def _decoder_block(x, memory, bp, cfg: DetrHeadConfig, head_dim, *, train, rng,
     x = x + dropout(ca, cfg.dropout, k2, train=train)
 
     # FFN
-    y = layer_norm(x, bp["ln_mlp"]["scale"], bp["ln_mlp"]["bias"])
+    y = layer_norm(x, bp["ln_mlp"]["scale"], bp["ln_mlp"]["bias"],
+                   eps=cfg.ln_eps)
     y = gelu_mlp(y,
                  bp["mlp"]["fc1"]["kernel"].astype(y.dtype),
                  bp["mlp"]["fc1"]["bias"],
@@ -266,7 +271,8 @@ def apply_detr_head(
     )
 
     def heads(h):
-        h = layer_norm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
+        h = layer_norm(h, params["ln_f"]["scale"],
+                       params["ln_f"]["bias"], eps=cfg.ln_eps)
         class_logits = (
             jnp.dot(h, params["class_head"]["kernel"].astype(h.dtype),
                     preferred_element_type=jnp.float32)

@@ -143,7 +143,8 @@ def apply_backbone_int8(qparams, images, cfg: BackboneConfig,
     x = x + qparams["pos_embed"].astype(compute_dtype)
 
     def block(x, bp):
-        y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
+        y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                       eps=cfg.ln_eps)
         qkv = quant_dense(
             y, bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
         )
@@ -151,7 +152,8 @@ def apply_backbone_int8(qparams, images, cfg: BackboneConfig,
         x = x + quant_dense(
             attn, bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
         )
-        y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
+        y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                       eps=cfg.ln_eps)
         u = quant_dense(y, bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"])
         h = gelu_tanh(u)
         return x + quant_dense(
@@ -159,7 +161,8 @@ def apply_backbone_int8(qparams, images, cfg: BackboneConfig,
         ), None
 
     x, _ = jax.lax.scan(block, x, qparams["blocks"])
-    return layer_norm(x, qparams["ln_f"]["scale"], qparams["ln_f"]["bias"])
+    return layer_norm(x, qparams["ln_f"]["scale"],
+                      qparams["ln_f"]["bias"], eps=cfg.ln_eps)
 
 
 def apply_image_classifier_int8(qparams, images, cfg: BackboneConfig,

@@ -53,6 +53,11 @@ class BackboneConfig:
     # regularisation (rate 0.1, train.py:1352) trains on the kernel path.
     attn_dropout: float = 0.0
     distilled: bool = False  # DeiT: CLS + DIST tokens (train.py:646-648)
+    # LayerNorm epsilon. 1e-5 = torch nn.LayerNorm's default, i.e. what
+    # every reference LN runs with (train.py:576-593). Converted
+    # checkpoints must carry their source's value (timm ViT: 1e-6,
+    # HF ViT: 1e-12) or every block's rstd drifts systematically.
+    ln_eps: float = 1e-5
 
     @property
     def num_patches(self) -> int:
@@ -160,7 +165,8 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
     if train and rng is not None:
         k1, k2, kp = jax.random.split(rng, 3)
 
-    y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"])
+    y = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                   eps=cfg.ln_eps)
     attn_dropping = train and cfg.attn_dropout > 0.0 and kp is not None
     if not force_reference and use_fused_encoder_attention(h, hd):
         # one custom VJP over qkv-proj → attention → out-proj: the Pallas
@@ -204,7 +210,8 @@ def _encoder_block(x, bp, cfg: BackboneConfig, *, train, rng, force_reference,
         )
     x = x + dropout(attn, cfg.dropout, k1, train=train)
 
-    y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"])
+    y = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                   eps=cfg.ln_eps)
     mlp_fn = lambda *a: gelu_mlp(  # noqa: E731
         *a, force_reference=force_reference, remat_tail=remat_mlp_tail
     )
@@ -315,4 +322,5 @@ def apply_backbone(
 
     idxs = jnp.arange(cfg.depth)
     (x, _), _ = jax.lax.scan(body, (x, rng), (block_params, idxs))
-    return layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return layer_norm(x, params["ln_f"]["scale"],
+                      params["ln_f"]["bias"], eps=cfg.ln_eps)

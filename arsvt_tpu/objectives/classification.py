@@ -27,10 +27,16 @@ def softmax_cross_entropy(logits, labels, *, num_classes: int,
 
 
 def mixup(key, images, labels, *, num_classes: int, alpha: float = 0.2):
-    """Beta(alpha, alpha) mixup; returns (mixed images, soft labels)."""
+    """Beta(alpha, alpha) mixup; returns (mixed images, soft labels).
+
+    Partners come from a random permutation, not a fixed batch roll —
+    roll pairing is only as diverse as the batch order, so an unshuffled
+    or class-clustered stream would mix same-class neighbours every step
+    and silently weaken the regularisation."""
     b = images.shape[0]
-    lam = jax.random.beta(key, alpha, alpha, ())
-    perm = jnp.roll(jnp.arange(b), 1)
+    k_lam, k_perm = jax.random.split(key)
+    lam = jax.random.beta(k_lam, alpha, alpha, ())
+    perm = jax.random.permutation(k_perm, b)
     mixed = lam * images + (1.0 - lam) * images[perm]
     onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     soft = lam * onehot + (1.0 - lam) * onehot[perm]

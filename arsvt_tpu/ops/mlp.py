@@ -58,7 +58,12 @@ def gelu_mlp(x, w1, b1, w2, b2, *, force_reference: bool = False,
     fc1 matmul too, ~2.2 ms/layer of MXU time at ViT-B bs256) this trades
     +310 MB/layer of saved bf16 `u` for dropping that recompute entirely.
     """
-    if not force_reference and use_fused_mlp():
+    # an explicit remat_tail request wins over the ARSVT_ENABLE_FUSED_MLP
+    # opt-in: the fused kernel has its own fixed residual plan (bf16 u)
+    # and cannot honor the tail checkpoint or the mlp_u/mlp_h names a
+    # remat-tuned recipe depends on — silently swapping memory semantics
+    # behind the flag could OOM a tuned step
+    if not force_reference and not remat_tail and use_fused_mlp():
         from arsvt_tpu.ops.pallas.fused_mlp import fused_gelu_mlp
 
         return fused_gelu_mlp(x, w1, b1, w2, b2)

@@ -46,6 +46,15 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
         matcher=MatcherConfig(),
     )
 
+    if cfg.augment not in ("detection", "none"):
+        # mirror the classification step's loudness: a typo (or a
+        # classify-only mode like crop_flip) would otherwise silently
+        # train un-augmented AND un-normalized, then serve with a
+        # mismatched normalize_inputs contract
+        raise ValueError(
+            f"unknown augment mode {cfg.augment!r} for detect "
+            "(expected 'detection' or 'none')"
+        )
     aug = cfg.augment == "detection"
     if aug:
         from arsvt_tpu.data.augment import (

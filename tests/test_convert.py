@@ -26,7 +26,7 @@ def test_hf_vit_forward_parity():
 
     cfg = BackboneConfig(
         image_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
-        mlp_dim=64,
+        mlp_dim=64, ln_eps=hf_cfg.layer_norm_eps,  # HF's 1e-12, not 1e-5
     )
     state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
     params = from_pretrained_state(state, cfg)
