@@ -362,11 +362,24 @@ def import_torch_checkpoint(torch_state_path: str, checkpoint_dir: str, *,
     )
     state_dict = load_torch_state(torch_state_path)
 
+    is_reference = any(k.startswith("detection_head.") for k in state_dict)
+    # LayerNorm eps is a config, not a weight: imported backbones must run
+    # with their source's value or every block's rstd drifts (the torch
+    # default 1e-5 is only right for reference checkpoints). The standard
+    # values are baked per source; an explicit ln_eps override wins.
+    if not cfg.ln_eps and not is_reference:
+        detected = detect_source(_strip_prefix(
+            {k: np.asarray(v) for k, v in state_dict.items()}
+        )) if source == "auto" else source
+        if detected == "hf":
+            cfg = cfg.with_overrides(ln_eps=1e-12)   # HF ViT layer_norm_eps
+        elif detected == "timm":
+            cfg = cfg.with_overrides(ln_eps=1e-6)    # timm ViT default
+
     trainer = Trainer(cfg)
     state = trainer.init_state()
     params = state["params"]
 
-    is_reference = any(k.startswith("detection_head.") for k in state_dict)
     if source not in ("auto", "hf", "timm", "reference"):
         raise ValueError(f"unknown source {source!r}")
     if is_reference and source in ("hf", "timm"):
@@ -463,15 +476,19 @@ def main(argv=None):
     p.add_argument("--source", default="auto",
                    choices=("auto", "hf", "timm", "reference"))
     p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--ln-eps", type=float, default=None,
+                   help="LayerNorm eps for the imported weights (default: "
+                        "auto — timm 1e-6 / HF 1e-12 / reference 1e-5)")
     args = p.parse_args(argv)
-    overrides = (
-        {"num_classes": args.num_classes}
-        if args.num_classes is not None else None
-    )
+    overrides = {}
+    if args.num_classes is not None:
+        overrides["num_classes"] = args.num_classes
+    if args.ln_eps is not None:
+        overrides["ln_eps"] = args.ln_eps
     print(json.dumps(import_torch_checkpoint(
         args.torch_state, args.checkpoint_dir,
         train_preset=args.train_preset, source=args.source,
-        overrides=overrides,
+        overrides=overrides or None,
     )))
 
 

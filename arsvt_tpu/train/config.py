@@ -50,6 +50,9 @@ class TrainConfig:
     label_smoothing: float = 0.0
     mixup_alpha: float = 0.0                 # 0 = off
     attn_dropout: float = 0.0                # attention-prob dropout (train.py:528,545)
+    ln_eps: float = 0.0                      # 0 = preset default (torch's 1e-5);
+                                             # imported checkpoints carry their
+                                             # source's (timm 1e-6, HF 1e-12)
     # distillation (the reference carries these flags, off: train.py:1382-1384;
     # here they actually work — DeiT-style through the DIST head)
     distillation: str = "none"               # "none" | "hard" | "soft"
@@ -107,6 +110,8 @@ def resolve_backbone(cfg: TrainConfig) -> BackboneConfig:
         bb = dataclasses.replace(bb, image_size=cfg.image_size)
     if cfg.attn_dropout and cfg.attn_dropout != bb.attn_dropout:
         bb = dataclasses.replace(bb, attn_dropout=cfg.attn_dropout)
+    if cfg.ln_eps and cfg.ln_eps != bb.ln_eps:
+        bb = dataclasses.replace(bb, ln_eps=cfg.ln_eps)
     return bb
 
 
@@ -132,6 +137,12 @@ def resolve_detector(cfg: TrainConfig) -> DetectorConfig:
                 det.backbone, attn_dropout=cfg.attn_dropout
             ),
             head=dataclasses.replace(det.head, attn_dropout=cfg.attn_dropout),
+        )
+    if cfg.ln_eps:
+        det = dataclasses.replace(
+            det,
+            backbone=dataclasses.replace(det.backbone, ln_eps=cfg.ln_eps),
+            head=dataclasses.replace(det.head, ln_eps=cfg.ln_eps),
         )
     return det
 

@@ -263,6 +263,12 @@ def test_import_torch_checkpoint_hf_to_orbax(tmp_path):
         np.asarray(expect["blocks"]["attn"]["qkv"]["kernel"]), atol=1e-6,
     )
     assert "classifier" in params  # fresh head present
+    # the import auto-pins the SOURCE's LayerNorm eps into the stored
+    # config (HF ViT: 1e-12) so eval/serving run the weights the way the
+    # source model did, not with torch's 1e-5
+    assert cfg.ln_eps == 1e-12
+    from arsvt_tpu.train.config import resolve_backbone
+    assert resolve_backbone(cfg).ln_eps == 1e-12
 
 
 def test_import_torch_checkpoint_reference_detector(tmp_path):
