@@ -155,8 +155,14 @@ def _native_resized_dims(orig_w: int, orig_h: int, canvas: int):
     original dims diverges by 1px on odd-width >=2x downscales (banker's
     rounding on fp64 vs lround on fp32 post-reduce) — enough to misalign a
     GT box edge from the letterboxed pixels."""
+    if max(orig_w, orig_h) <= 0:
+        return 1, 1  # degenerate record: match the old graceful floor
     s0 = np.float32(canvas) / np.float32(max(orig_w, orig_h))
-    k = max(1, int(1.0 / max(float(s0), 1e-6)))  # C++ int() truncation
+    # the reciprocal must be FP32 like the C++ (1.0f / s0): at exact >=3x
+    # integer ratios fp32 rounds 1/s0 up to the integer while fp64 stays
+    # just below it, so an fp64 reciprocal truncates to k-1 (e.g. 1920@640:
+    # C++ k=3 -> nh=22, fp64 k=2 -> nh=23 — the 1px family again)
+    k = max(1, int(np.float32(1.0) / np.maximum(s0, np.float32(1e-6))))
     w, h = orig_w, orig_h
     if k >= 2:
         w, h = max(1, orig_w // k), max(1, orig_h // k)
@@ -168,7 +174,12 @@ def _native_resized_dims(orig_w: int, orig_h: int, canvas: int):
 
 
 def box_transform_from_meta(meta_row, canvas: int):
-    """Reproduce pipeline.letterbox's box transform from native meta."""
+    """Box transform matching the NATIVE letterbox's exact geometry.
+
+    Not interchangeable with pipeline.letterbox's transform: the PIL
+    fallback resizes without the C++ core's integer box-reduce prefilter
+    and rounds dims with Python round(), so the two paths can differ by
+    1px in resized dims — each path's boxes align with ITS OWN pixels."""
     pad_x, pad_y = float(meta_row[1]), float(meta_row[2])
 
     def transform(boxes: np.ndarray, orig_w: int, orig_h: int) -> np.ndarray:

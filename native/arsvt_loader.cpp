@@ -340,8 +340,10 @@ void letterbox_into(const Image& img_in, int canvas, OutT* out, float* meta) {
   }
   // scale reported against the ORIGINAL dims; box transforms recompute
   // the exact resized dims by replicating the box-reduce + lround math
-  // above (native_loader._native_resized_dims), so boxes align with the
-  // pixels even when the prefilter changed the rounding by 1px.
+  // above IN FP32 (native_loader._native_resized_dims — the reciprocal
+  // for k must be fp32 like this file's, or exact >=3x ratios diverge),
+  // so boxes align with the pixels even when the prefilter changed the
+  // rounding by 1px.
   meta[0] = float(canvas) / float(std::max(img_in.w, img_in.h));
   meta[1] = float(pad_x);
   meta[2] = float(pad_y);

@@ -587,6 +587,15 @@ def test_native_resized_dims_match_cpp_rounding():
     assert _native_resized_dims(48, 64, 32) == (24, 32)
     # identity
     assert _native_resized_dims(32, 32, 32) == (32, 32)
+    # exact >=3x integer ratios: the reduce factor k MUST come from an
+    # FP32 reciprocal like the C++ (1.0f/s0 rounds UP to the integer at
+    # e.g. 1/3; fp64 stays below and truncates to k-1). Constants pinned
+    # against the compiled C++ math (g++ -O3 -march=native probe):
+    assert _native_resized_dims(1920, 68, 640) == (640, 22)
+    assert _native_resized_dims(1536, 100, 512) == (512, 33)
+    assert _native_resized_dims(672, 50, 224) == (224, 16)
+    # degenerate record: graceful floor, no NaN crash
+    assert _native_resized_dims(0, 0, 32) == (1, 1)
 
 
 def test_color_jitter_applies_random_order():

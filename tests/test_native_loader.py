@@ -144,3 +144,40 @@ def test_pil_fallback_exif_orientation(tmp_path):
     Image.fromarray(base).save(path, quality=95, exif=exif.tobytes())
     out = load_image_u8(path)
     assert out.shape == (20, 10, 3)  # upright: dimensions swapped
+
+
+def test_native_box_transform_matches_decoded_geometry(tmp_path):
+    """End-to-end against the real .so: for an exact-3x-ratio image (the
+    fp32-reciprocal family) the box transform must place a full-image box
+    exactly on the letterboxed content the C++ core actually produced."""
+    from arsvt_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    from PIL import Image
+
+    path = str(tmp_path / "wide.jpg")
+    Image.fromarray(
+        np.full((68, 1920, 3), 200, np.uint8)
+    ).save(path, quality=90)
+
+    canvas = 640
+    images, meta = native_loader.load_letterboxed_batch([path], canvas)
+    assert meta[0, 3] == 1.0  # decoded ok
+    nw, nh = native_loader._native_resized_dims(1920, 68, canvas)
+    assert (nw, nh) == (640, 22)  # pinned against the compiled C++ math
+    pad_x, pad_y = float(meta[0, 1]), float(meta[0, 2])
+    assert (pad_x, pad_y) == ((canvas - nw) // 2, (canvas - nh) // 2)
+
+    tf = native_loader.box_transform_from_meta(meta[0], canvas)
+    box = tf(np.array([[0.0, 0.0, 1.0, 1.0]], np.float32), 1920, 68)[0]
+    np.testing.assert_allclose(
+        box, [pad_x / canvas, pad_y / canvas,
+              (pad_x + nw) / canvas, (pad_y + nh) / canvas], atol=1e-6,
+    )
+    # the transform's content band matches the PIXELS: rows inside are
+    # bright, the padding rows outside are not part of the content
+    row_means = np.asarray(images[0], np.float32).mean(axis=(1, 2))
+    scale = 255.0 if images.dtype == np.uint8 else 1.0
+    content = row_means[int(pad_y):int(pad_y) + nh] / scale
+    assert content.mean() > 0.6  # the gray (200/255) image rows
