@@ -33,31 +33,28 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # read the training config back out of the checkpoint first
-    import orbax.checkpoint as ocp
+    from arsvt_tpu.train.checkpoint import latest_step as latest_step_in
 
-    from arsvt_tpu.train.checkpoint import peek_config
-
-    mgr = ocp.CheckpointManager(args.checkpoint_dir)
-    try:
-        step = args.step if args.step is not None else mgr.latest_step()
-    finally:
-        mgr.close()
+    step = (args.step if args.step is not None
+            else latest_step_in(args.checkpoint_dir))
     if step is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
-    cfg = peek_config(args.checkpoint_dir, step=step)
-    print(f"checkpoint step {step}: preset={cfg.preset} task={cfg.task}",
-          file=sys.stderr)
 
-    from arsvt_tpu.train.checkpoint import load_params_for_eval
+    # ONE loading path shared with serving: host-local (never rebuilds the
+    # saved training mesh — a mesh_data=8 checkpoint must evaluate on a
+    # 1-chip box) and params-only (the Adam moments are never read)
+    from arsvt_tpu.serving.loading import load_inference_bundle
     from arsvt_tpu.train.trainer import Trainer
 
-    trainer = Trainer(cfg.with_overrides(checkpoint_dir=args.checkpoint_dir))
-    trainer.init_state()
-    # params-only partial restore: eval never touches the Adam moments
-    # (~2x the parameter bytes of disk reads a full restore would do)
-    trainer.state["params"], _ = load_params_for_eval(
-        args.checkpoint_dir, trainer.cfg, trainer.state["params"], step=step
-    )
+    params, cfg = load_inference_bundle(args.checkpoint_dir, step=step)
+    print(f"checkpoint step {step}: preset={cfg.preset} task={cfg.task}",
+          file=sys.stderr)
+    trainer = Trainer(cfg.with_overrides(
+        checkpoint_dir=args.checkpoint_dir, mesh_data=-1, mesh_model=1,
+    ))
+    from arsvt_tpu.parallel.sharding import shard_params
+
+    trainer.state = {"params": shard_params(params, trainer.mesh)}
 
     data_dir = args.data_dir or cfg.data_dir
     if not data_dir:

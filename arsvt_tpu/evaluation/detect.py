@@ -261,7 +261,7 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
     practice and the device post-process cost is halved).
     """
     predictions, ap_predictions, ground_truths = [], [], []
-    total_loss, n_batches, weight_total = 0.0, 0, 0.0
+    total_loss, weight_total = 0.0, 0.0
     parts_sum: dict = {}
     for batch in batches:
         m = eval_step(params, batch)
@@ -282,7 +282,6 @@ def evaluate_detector(eval_step, params, batches, *, num_classes: int,
         predictions.extend(p)
         ap_predictions.extend(ap_p)
         ground_truths.extend(g)
-        n_batches += 1
     ap = average_precision(
         ap_predictions, ground_truths, num_classes=num_classes
     )

@@ -161,6 +161,15 @@ def load_for_eval(directory: str, cfg: TrainConfig, state_like: dict,
     return state, saved_cfg
 
 
+def latest_step(directory: str) -> int | None:
+    """Most recent checkpoint step in `directory` (None when empty)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(directory))
+    try:
+        return mgr.latest_step()
+    finally:
+        mgr.close()
+
+
 def load_params_for_eval(directory: str, cfg: TrainConfig, params_like,
                          *, step: int | None = None):
     """Restore ONLY the params subtree, config-bound.

@@ -40,17 +40,22 @@ class MetricLogger:
         for k, v in metrics.items():
             key = f"{prefix}{k}"
             try:
-                f = float(v)
-                # bare NaN/Infinity tokens are invalid JSON (RFC 8259) —
-                # they'd corrupt metrics.jsonl exactly when a diverged run
-                # needs post-mortem parsing; stringify instead
-                rec[key] = f if math.isfinite(f) else str(f)
+                rec[key] = float(v)
             except (TypeError, ValueError):
                 # arrays (confusion matrices, per-class vectors) and other
                 # non-scalars must still produce a valid JSON line
                 rec[key] = v.tolist() if hasattr(v, "tolist") else v
         if self._fh:
-            self._fh.write(json.dumps(rec, default=str) + "\n")
+            # bare NaN/Infinity tokens are invalid JSON (RFC 8259) — they'd
+            # corrupt metrics.jsonl exactly when a diverged run needs
+            # post-mortem parsing. Sanitize ONLY the jsonl payload; wandb
+            # below still receives the native float('nan') it handles.
+            safe = {
+                k: (v if not isinstance(v, float) or math.isfinite(v)
+                    else str(v))
+                for k, v in rec.items()
+            }
+            self._fh.write(json.dumps(safe, default=str) + "\n")
             self._fh.flush()
         if self._wandb:
             self._wandb.log(rec, step=step)
