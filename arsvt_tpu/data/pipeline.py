@@ -239,13 +239,31 @@ def detection_batches(
     process_index: int = 0,
     process_count: int = 1,
     image_dtype=np.uint8,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Yields {"image": (B,canvas,canvas,3) uint8 raw bytes (default; the
     jitted step rescales on device) or f32 [0,1] with image_dtype=float32,
     "boxes": (B,M,4), "labels": (B,M), "mask": (B,M), "area": (B,M),
     "iscrowd": (B,M), "image_id": (B,)} — area/iscrowd ride along for the
     reference's full target contract (train.py:151-157); losses ignore
-    them, COCO eval reads iscrowd as ignore regions."""
+    them, COCO eval reads iscrowd as ignore regions.
+
+    `skip_batches` fast-forwards past already-consumed batches (resume):
+    index-level only — the seeded shuffle replays identically, nothing is
+    decoded for skipped batches."""
+    overflow = sum(
+        1 for r in ds.records if len(r.boxes) > max_objects
+    )
+    if overflow:
+        import warnings
+
+        warnings.warn(
+            f"{overflow} image(s) carry more than max_objects="
+            f"{max_objects} boxes — the excess ground truth is TRUNCATED "
+            "(never matched in training, counted absent in eval); raise "
+            "--max-objects to cover the dataset",
+            stacklevel=2,
+        )
 
     def gen():
         # per-host sharding: every host shuffles with the same seed and
@@ -253,6 +271,7 @@ def detection_batches(
         # SURVEY.md §2 host-parallelism row)
         rng = np.random.default_rng(seed)
         epoch = 0
+        to_skip = skip_batches
         while True:
             order = np.arange(len(ds))
             if shuffle:
@@ -262,6 +281,10 @@ def detection_batches(
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
+                    continue
+                if to_skip > 0:  # resume fast-forward: no decode
+                    to_skip -= 1
+                    yielded = True  # the shard does fill batches
                     continue
                 recs = [ds.records[i] for i in idxs]
                 images, tfs = load_letterboxed(
@@ -315,17 +338,20 @@ def classification_batches(
     process_index: int = 0,
     process_count: int = 1,
     image_dtype=np.uint8,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Dominant-class labels; images with no boxes are skipped.
 
     Yields {"image": (B,canvas,canvas,3) uint8 (default, see
     detection_batches) or f32 [0,1], "label": (B,) i32}.
+    `skip_batches`: see detection_batches (resume fast-forward).
     """
     labels_all = ds.classification_labels()
     keep = np.nonzero(labels_all >= 0)[0]
 
     def gen():
         rng = np.random.default_rng(seed)
+        to_skip = skip_batches
         while True:
             order = keep.copy()
             if shuffle:
@@ -335,6 +361,10 @@ def classification_batches(
             for start in range(0, len(order), batch_size):
                 idxs = order[start : start + batch_size]
                 if drop_remainder and len(idxs) < batch_size:
+                    continue
+                if to_skip > 0:  # resume fast-forward: no decode
+                    to_skip -= 1
+                    yielded = True  # the shard does fill batches
                     continue
                 images, _ = load_letterboxed(
                     [ds.records[i].path for i in idxs], canvas,

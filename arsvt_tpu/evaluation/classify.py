@@ -131,7 +131,7 @@ class StreamingClassifier(LatencyWindow):
         self._n = num_classes
         self._preprocess = preprocess
         self._normalize_inputs = normalize_inputs
-        self._latencies: list[float] = []
+        self._latencies = self.new_window()
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         if quantize == "int8":
@@ -220,7 +220,7 @@ class StreamingClassifier(LatencyWindow):
         image = _load_letterboxed_single(path, self._cfg.image_size)
         result = self(image)
         # replace the __call__ latency with the full decode-included one
-        self._latencies[-1] = time.perf_counter() - t0
+        self.replace_last_latency(time.perf_counter() - t0)
         return result
 
 
@@ -243,7 +243,7 @@ class StreamingDetector(LatencyWindow):
         from arsvt_tpu.models.detector import apply_detector
 
         self._cfg = detector_cfg
-        self._latencies: list[float] = []
+        self._latencies = self.new_window()
         size = detector_cfg.backbone.image_size
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {quantize!r}")

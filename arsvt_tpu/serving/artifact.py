@@ -56,7 +56,7 @@ class _ArtifactEngine(LatencyWindow):
         self.image_size = int(aval.shape[1])
         self._input_dtype = aval.dtype
         self._call = jax.jit(exported.call)
-        self._latencies: list[float] = []
+        self._latencies = self.new_window()
 
     def _to_input_batch(self, image) -> jnp.ndarray:
         """One HWC image (uint8 or [0,1] float) → the artifact's exact
@@ -111,7 +111,7 @@ class ArtifactClassifier(_ArtifactEngine):
 
         t0 = time.perf_counter()
         result = self(_load_letterboxed_single(path, self.image_size))
-        self._latencies[-1] = time.perf_counter() - t0
+        self.replace_last_latency(time.perf_counter() - t0)
         return result
 
 

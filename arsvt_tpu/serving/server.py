@@ -41,6 +41,10 @@ class InferenceServer:
         device forward (serving/batching.py)."""
         if classifier is None and detector is None:
             raise ValueError("need a classifier and/or a detector")
+        if max_batch < 1:
+            raise ValueError(
+                f"max_batch must be >= 1 (1 = unbatched), got {max_batch}"
+            )
         self._clf = classifier
         self._det = detector
         self._lock = threading.Lock()  # serialize device access
@@ -125,12 +129,14 @@ class InferenceServer:
 
     # ----------------------------------------------------------- handlers
     def _decode(self, body: bytes):
-        from PIL import Image
+        from PIL import Image, ImageOps
 
-        img = np.asarray(
-            Image.open(io.BytesIO(body)).convert("RGB"), np.float32
-        ) / 255.0
-        return img
+        # EXIF orientation must be applied here exactly like training/eval
+        # decode paths do (data/pipeline.py::_open_upright) — a camera
+        # frame stored rotated-with-tag would otherwise classify sideways
+        # while the same frame via /detect (path-based decode) is upright
+        img = ImageOps.exif_transpose(Image.open(io.BytesIO(body)))
+        return np.asarray(img.convert("RGB"), np.float32) / 255.0
 
     def _classify(self, body: bytes) -> dict:
         from arsvt_tpu.data.pipeline import letterbox
@@ -153,6 +159,11 @@ class InferenceServer:
         else:
             with self._lock:
                 idx, name, probs = self._clf(jnp.asarray(img))
+            # /stats must mean the same thing in both modes: the batched
+            # path records decode+letterbox+forward via note_latency, so
+            # overwrite the engine's forward-only sample with the same
+            # decode-inclusive measurement
+            self._clf.replace_last_latency(time.perf_counter() - t0)
         return {
             "class": int(idx),
             "class_name": name,
@@ -232,8 +243,15 @@ class InferenceServer:
                         self._send(200, server_self._detect(body))
                     else:
                         self._send(404, {"error": "unknown path"})
+                except (BrokenPipeError, ConnectionError):
+                    # the client went away mid-write — a 400 on the same
+                    # stream would follow an already-sent 200 status line
+                    pass
                 except Exception as e:  # undecodable image etc.
-                    self._send(400, {"error": str(e)[:200]})
+                    try:
+                        self._send(400, {"error": str(e)[:200]})
+                    except (BrokenPipeError, ConnectionError):
+                        pass
 
         return Handler
 
@@ -254,6 +272,7 @@ class InferenceServer:
     def shutdown(self):
         if self._httpd is not None:
             self._httpd.shutdown()
+            self._httpd.server_close()  # free the listening socket fd now
             self._httpd = None
         if self._batcher is not None:
             self._batcher.shutdown()

@@ -15,7 +15,19 @@ import itertools
 import os
 import sys
 
-from arsvt_tpu.train.config import TRAIN_PRESETS, TrainConfig, resolve_backbone
+from arsvt_tpu.train.config import TRAIN_PRESETS, TrainConfig
+
+
+def _parse_bool(s: str) -> bool:
+    v = s.lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    # anything else must FAIL, not silently become False — a typo like
+    # `--remat ture` would otherwise flip a preset's True and e.g. OOM a
+    # ViT-L run with no hint why
+    raise argparse.ArgumentTypeError(f"expected true/false, got {s!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -29,8 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(TrainConfig):
         flag = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"),
-                           default=None)
+            p.add_argument(flag, type=_parse_bool, default=None)
         elif isinstance(f.default, int):
             p.add_argument(flag, type=int, default=None)
         elif isinstance(f.default, float):
@@ -60,15 +71,24 @@ def config_from_args(args) -> TrainConfig:
     return cfg.with_overrides(**overrides)
 
 
-def make_data(cfg: TrainConfig):
+def make_data(cfg: TrainConfig, *, skip_batches: int = 0):
     """Returns (train_batches, eval_batches_fn).
 
     Under ARSVT_MULTIHOST each process loads only its stride-shard of the
     records and feeds batch_size // process_count rows; the trainer
-    assembles the global batch (parallel/multihost.py)."""
+    assembles the global batch (parallel/multihost.py).
+
+    `skip_batches`: fast-forward the train stream past the batches an
+    interrupted run already consumed (one batch per step) — a resumed run
+    then sees exactly the data an uninterrupted one would, instead of
+    re-consuming the earliest epochs (skipping is index-level: nothing is
+    decoded)."""
+    import itertools as _it
+
     import jax
 
     from arsvt_tpu.parallel.multihost import local_batch
+    from arsvt_tpu.train.config import input_canvas
 
     pidx, pcount = jax.process_index(), jax.process_count()
     try:
@@ -80,12 +100,14 @@ def make_data(cfg: TrainConfig):
             raise SystemExit("--data-dir required for detection training")
         from arsvt_tpu.data.synthetic import synthetic_classification_batches
 
-        size = cfg.canvas if cfg.augment != "none" else (
-            cfg.image_size or resolve_backbone(cfg).image_size
-        )
+        size = input_canvas(cfg)
         train = synthetic_classification_batches(
             batch_size=local_bs, image_size=size, seed=cfg.seed + pidx
         )
+        if skip_batches:
+            # synthetic draws are cheap; replaying the stream keeps the
+            # resumed data order identical to the uninterrupted run
+            train = _it.islice(train, skip_batches, None)
 
         def eval_batches():
             return itertools.islice(
@@ -112,14 +134,13 @@ def make_data(cfg: TrainConfig):
             f"pass --num-classes {train_ds.num_classes} (labels beyond "
             f"num_classes would silently contribute zero CE gradient)"
         )
-    from arsvt_tpu.train.config import input_canvas
-
     canvas = input_canvas(cfg)
     host_shard = dict(process_index=pidx, process_count=pcount)
     if cfg.task == "detect":
         train = detection_batches(
             train_ds, batch_size=local_bs, canvas=canvas,
-            max_objects=cfg.max_objects, seed=cfg.seed, **host_shard,
+            max_objects=cfg.max_objects, seed=cfg.seed,
+            skip_batches=skip_batches, **host_shard,
         )
 
         def eval_batches():
@@ -131,7 +152,7 @@ def make_data(cfg: TrainConfig):
     else:
         train = classification_batches(
             train_ds, batch_size=local_bs, canvas=canvas,
-            seed=cfg.seed, **host_shard,
+            seed=cfg.seed, skip_batches=skip_batches, **host_shard,
         )
 
         def eval_batches():
@@ -185,11 +206,14 @@ def main(argv=None):
         logger=MetricLogger(out_dir=".", run_config=_dc.asdict(cfg)),
     )
 
+    start = 0
     if args.resume:
         start = trainer.maybe_resume()
         print(f"resumed at step {start}", file=sys.stderr)
 
-    train_batches, eval_batches_fn = make_data(cfg)
+    # fast-forward the data stream past the batches the interrupted run
+    # consumed (one per step) so resumed training never re-sees early data
+    train_batches, eval_batches_fn = make_data(cfg, skip_batches=start)
     if jax.process_count() > 1 and eval_batches_fn is not None:
         # multi-host eval is rejected by Trainer.fit (unequal per-host
         # shard tails deadlock the collective eval step)

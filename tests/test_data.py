@@ -640,3 +640,48 @@ def test_color_jitter_applies_random_order():
         for k in range(20)
     }
     assert len(perms) > 1
+
+
+def test_skip_batches_resume_matches_uninterrupted(tmp_path):
+    """A resumed run must see exactly the batches an uninterrupted one
+    would: skip_batches fast-forwards the seeded stream at the index
+    level (same shuffle replay, no decode of the skipped prefix)."""
+    from arsvt_tpu.data.coco import CocoDataset
+    from arsvt_tpu.data.pipeline import classification_batches
+    from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+    root = make_synthetic_coco(
+        str(tmp_path / "coco"), splits=("train",), images_per_split=12,
+        image_size=16, max_boxes=1,
+    )
+    ds = CocoDataset(root + "/train")
+    kw = dict(batch_size=4, canvas=16, seed=7, repeat=True)
+
+    full = classification_batches(ds, **kw)
+    reference = [next(full) for _ in range(8)]
+    full.close()
+
+    resumed = classification_batches(ds, skip_batches=5, **kw)
+    for i in range(5, 8):
+        b = next(resumed)
+        np.testing.assert_array_equal(b["label"], reference[i]["label"])
+        np.testing.assert_array_equal(b["image"], reference[i]["image"])
+    resumed.close()
+
+
+def test_detection_batches_warns_on_truncated_gt(tmp_path):
+    """GT beyond max_objects is silently unlearnable AND uncounted in
+    eval — the pipeline must say so."""
+    from arsvt_tpu.data.coco import CocoDataset
+    from arsvt_tpu.data.pipeline import detection_batches
+    from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+    root = make_synthetic_coco(
+        str(tmp_path / "coco"), splits=("train",), images_per_split=6,
+        image_size=32, max_boxes=3,
+    )
+    ds = CocoDataset(root + "/train")
+    with pytest.warns(UserWarning, match="TRUNCATED"):
+        it = detection_batches(ds, batch_size=2, canvas=32, max_objects=1,
+                               repeat=False, shuffle=False)
+    it.close()
