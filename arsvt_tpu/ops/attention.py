@@ -90,8 +90,6 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     (ops/pallas/flash_attention.py) — a residual-lean custom VJP that
     re-derives the transposed q/k/v in backward; the reference path
     materialises the (3, B, H, S, d) transpose and runs `sdpa_reference`.
-    (ops/pallas/qkv_attention.py holds an unused experimental kernel kept
-    only for tuning — nothing dispatches to it.)
     """
     b, s, three_d = qkv_flat.shape
     d = three_d // 3
@@ -114,10 +112,11 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
         )
     qkv = qkv_flat.reshape(b, s, 3, num_heads, head_dim)
     qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, S, hd)
-    # NOTE: the fully-packed-layout kernel (ops/pallas/qkv_attention.py,
-    # which also avoids the transposes *inside the kernel*) measured slower
-    # than transpose + per-head flash (10.0 vs 6.0 ms fwd at ViT-B bs256) —
-    # strided slab reads in VMEM eat the copy savings. Kept for tuning.
+    # NOTE: a fully-packed-layout kernel (avoiding the transposes *inside
+    # the kernel* too) measured slower than transpose + per-head flash
+    # (10.0 vs 6.0 ms fwd at ViT-B bs256) — strided slab reads in VMEM eat
+    # the copy savings. Removed as dead weight (git history has it); the
+    # production answer to the transposes is fused_encoder_attention.
     out = multi_head_attention(
         qkv[0], qkv[1], qkv[2], force_reference=force_reference,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng,
