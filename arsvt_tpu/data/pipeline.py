@@ -183,8 +183,13 @@ class Prefetcher:
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
 
-    def close(self):
+    def close(self, *, wait: bool = False):
+        """Stop the worker. `wait=True` joins it — an in-flight batch
+        decode otherwise keeps consuming host CPU briefly after close(),
+        which can contaminate a timing section that starts right after."""
         self._stop.set()
+        if wait:
+            self._t.join(timeout=30)
 
     def __del__(self):
         self._stop.set()

@@ -36,7 +36,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.data.synthetic import synthetic_shape_image
 from arsvt_tpu.evaluation.classify import evaluate_classifier
-from arsvt_tpu.models.registry import get_preset
 from arsvt_tpu.train.config import TrainConfig
 from arsvt_tpu.train.train_step import make_classifier_step_fns
 
@@ -66,10 +65,20 @@ def main():
         z = np.load(cache)
         tr_images, tr_labels = z["tr_images"], z["tr_labels"]
         va_images, va_labels = z["va_images"], z["va_labels"]
+        # a stale/mismatched cache must fail loudly, not silently change
+        # the artifact's documented data contract
         assert tr_images.shape == (TRAIN_IMAGES, CANVAS, CANVAS, 3)
+        assert tr_labels.shape == (TRAIN_IMAGES,)
+        assert va_images.shape == (VAL_IMAGES, CANVAS, CANVAS, 3)
+        assert va_labels.shape == (VAL_IMAGES,)
     else:
         tr_images, tr_labels = make_pool(TRAIN_IMAGES, seed=0)
         va_images, va_labels = make_pool(VAL_IMAGES, seed=10_000)
+        if cache:  # write on miss so the env var actually caches
+            np.savez_compressed(
+                cache, tr_images=tr_images, tr_labels=tr_labels,
+                va_images=va_images, va_labels=va_labels,
+            )
     print(f"pools built in {time.time()-t0:.0f}s: train {tr_images.shape} "
           f"val {va_images.shape}", file=sys.stderr, flush=True)
 
@@ -109,7 +118,9 @@ def main():
                 "label": jnp.asarray(labels[s:s + BS]),
             }
 
-    bb = get_preset(cfg.preset)
+    from arsvt_tpu.train.config import resolve_backbone
+
+    bb = resolve_backbone(cfg)  # honors cfg.image_size like training did
     result = evaluate_classifier(
         state["params"], batches_of(va_images, va_labels), bb, 6,
         normalize_inputs=True,  # crop_flip training normalizes in-step

@@ -54,6 +54,16 @@ def main():
                     help="on-disk JPEG side (decode-realistic)")
     args = ap.parse_args()
 
+    tmp = tempfile.mkdtemp(prefix="arsvt_datafed_")
+    try:
+        _run(args, tmp)
+    finally:  # failed runs must not leak hundreds of MB of JPEGs in /tmp
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(args, tmp):
     from arsvt_tpu.data import native_loader
     from arsvt_tpu.data.coco import CocoDataset
     from arsvt_tpu.data.pipeline import classification_batches
@@ -63,8 +73,6 @@ def main():
 
     log(f"native loader: {native_loader.available()}, "
         f"host cores: {os.cpu_count()}")
-
-    tmp = tempfile.mkdtemp(prefix="arsvt_datafed_")
     t0 = time.time()
     make_synthetic_coco(tmp, splits=("train",),
                         images_per_split=args.images,
@@ -83,7 +91,9 @@ def main():
     for _ in range(n_drain):
         next(batches)
     loader_only = n_drain * args.batch_size / (time.time() - t0)
-    batches.close()
+    # join: an in-flight 192-image decode would otherwise keep eating the
+    # single host core into the step_only timing below
+    batches.close(wait=True)
     log(f"loader_only: {loader_only:.1f} img/s")
 
     # ---- train step (champion bench config) -----------------------------
@@ -116,9 +126,11 @@ def main():
     batches = classification_batches(
         ds, batch_size=args.batch_size, canvas=256, seed=1
     )
-    cpu0 = time.process_time()
     state, m = train_step(state, next(batches), rng)  # warm
     float(m["loss"])
+    # cpu and wall windows must cover the SAME section or the reported
+    # utilization includes warm-step/prefetch CPU outside the wall window
+    cpu0 = time.process_time()
     t0 = time.time()
     for _ in range(args.steps):
         state, m = train_step(state, next(batches), rng)
@@ -143,9 +155,6 @@ def main():
         "jpeg_side_px": args.image_size,
     }
     print(json.dumps(result))
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

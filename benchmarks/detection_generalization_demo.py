@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir",
-                  __import__("os").path.expanduser("~/.jax_cache"))
+                  os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.data.coco import CocoDataset
@@ -67,6 +67,13 @@ def main():
     import shutil
 
     tmp = tempfile.mkdtemp(prefix="arsvt_det_demo_")
+    try:
+        _run(tmp)
+    finally:  # failed runs must not leak the JPEG tree in /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(tmp):
     make_synthetic_coco(tmp, splits=("train",), images_per_split=TRAIN_IMAGES,
                         image_size=96, max_boxes=3, seed=0)
     make_synthetic_coco(tmp, splits=("valid",), images_per_split=80,
@@ -149,7 +156,7 @@ def main():
             k: round(float(v), 4) for k, v in m.items()
         },
         "train_seconds": round(train_secs, 1),
-        "val": {k: v for k, v in result.items()},
+        "val": dict(result),
         "train_split": {k: v for k, v in train_result.items()
                         if k in ("mAP", "AP50", "AP75")},
     }
@@ -159,7 +166,6 @@ def main():
         json.dump(artifact, f, indent=1)
     print(json.dumps({"val_mAP": result["mAP"], "val_AP50": result["AP50"],
                       "train_mAP": train_result["mAP"], "artifact": out}))
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

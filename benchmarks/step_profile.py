@@ -29,8 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 jax.config.update("jax_compilation_cache_dir",
-                  __import__("os").path.expanduser("~/.jax_cache"))
+                  os.path.expanduser("~/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from arsvt_tpu.core.dtypes import DEFAULT_POLICY
@@ -43,10 +45,8 @@ from arsvt_tpu.train.config import TrainConfig, resolve_backbone
 from arsvt_tpu.train.optim import make_optimizer
 from arsvt_tpu.train.train_step import make_classifier_step_fns
 
-import os as _os
-
-BS = int(_os.environ.get("PROFILE_BS", "256"))
-_REMAT = _os.environ.get("PROFILE_REMAT", "all_but_mlp")  # "none" disables
+BS = int(os.environ.get("PROFILE_BS", "256"))
+_REMAT = os.environ.get("PROFILE_REMAT", "all_but_mlp")  # "none" disables
 STEPS = 15
 
 
@@ -174,9 +174,12 @@ def main():
         "fwd_ms": round(t_a, 1),
         "bwd_plus_remat_ms": round(t_b - t_a, 1),
         "optimizer_ms": round(t_c - t_b, 1),
-        # D differs from C by augmentation AND donation + 256-canvas H2D,
-        # so this difference is an upper bound that can go slightly
-        # negative when donation savings exceed the augment cost
+        # D differs from C by the fused augmentation AND donation; the
+        # batch is a device-resident array staged once, so NO per-step
+        # H2D is inside this number (the production path additionally
+        # ships uint8 batches — see datafed_bench.py for the fed rate).
+        # The difference is an upper bound that can go slightly negative
+        # when donation savings exceed the augment cost
         "augmentation_and_step_overhead_ms": round(t_d - t_c, 1),
         "full_step_ms": round(t_d, 1),
         "img_per_s": round(BS / t_d * 1e3, 1),
