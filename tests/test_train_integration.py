@@ -451,3 +451,54 @@ def test_evaluate_weights_ragged_batches(cpu_mesh):
     ])
     out = tr.evaluate(batches)
     np.testing.assert_allclose(out["loss"], 4.0 / 5.0)  # not 0.5
+
+
+def test_resume_is_bit_equivalent_to_uninterrupted(tmp_path, cpu_mesh):
+    """Crash + --resume must reproduce the uninterrupted run exactly:
+    optimizer state restores, the step rng folds by step number, and the
+    data stream fast-forwards past consumed batches (train/cli.py) — so
+    params after N steps are identical either way."""
+    from arsvt_tpu.data.coco import CocoDataset
+    from arsvt_tpu.data.pipeline import classification_batches
+    from arsvt_tpu.data.synthetic import make_synthetic_coco
+
+    root = make_synthetic_coco(
+        str(tmp_path / "coco"), splits=("train",), images_per_split=16,
+        image_size=32, max_boxes=1,
+    )
+    ds = CocoDataset(root + "/train")
+    base = TRAIN_PRESETS["smoke"].with_overrides(
+        batch_size=4, eval_every=10**9, log_every=10**9, seed=3,
+    )
+    kw = dict(batch_size=4, canvas=32, seed=3)
+
+    # uninterrupted: 6 steps
+    cfg_a = base.with_overrides(total_steps=6, checkpoint_every=10**9)
+    tr_a = Trainer(cfg_a, mesh=cpu_mesh)
+    it = classification_batches(ds, **kw)
+    tr_a.fit(it)
+    it.close()
+
+    # interrupted at 3, resumed to 6 with the fast-forwarded stream
+    ck = str(tmp_path / "ck")
+    cfg_b1 = base.with_overrides(total_steps=3, checkpoint_every=3,
+                                 checkpoint_dir=ck)
+    tr_b = Trainer(cfg_b1, mesh=cpu_mesh)
+    it = classification_batches(ds, **kw)
+    tr_b.fit(it)
+    it.close()
+
+    cfg_b2 = base.with_overrides(total_steps=6, checkpoint_every=10**9,
+                                 checkpoint_dir=ck)
+    tr_b2 = Trainer(cfg_b2, mesh=cpu_mesh)
+    start = tr_b2.maybe_resume()
+    assert start == 3
+    it = classification_batches(ds, skip_batches=start, **kw)
+    tr_b2.fit(it)
+    it.close()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr_a.state["params"]),
+        jax.tree_util.tree_leaves(tr_b2.state["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
