@@ -203,6 +203,9 @@ def test_distillation_trains(tmp_path, cpu_mesh):
             distill_teacher=str(tmp_path / "teacher"),
             checkpoint_dir=str(tmp_path / f"student_{mode}"),
             total_steps=4, checkpoint_every=10**9,
+            # soft also exercises the teacher as an explicit jit argument
+            # INSIDE the scanned microbatch step (accum + distillation)
+            grad_accum=2 if mode == "soft" else 1,
         )
         st = Trainer(scfg, mesh=cpu_mesh)
         last = st.fit(synthetic_classification_batches(
