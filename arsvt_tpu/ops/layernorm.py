@@ -61,9 +61,9 @@ _layer_norm.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
 def layer_norm(x, scale, bias, *, eps: float = 1e-5):
     """eps defaults to torch nn.LayerNorm's 1e-5 — the value every
     reference LayerNorm runs with (train.py:576-593 uses the default).
-    Converted timm (1e-6) / HF (1e-12) checkpoints see a systematic
-    rstd difference far below the tanh-GELU approximation tolerance the
-    conversion parity tests already absorb (test_convert.py)."""
+    Converted checkpoints do NOT rely on this default: models/convert.py
+    bakes the source model's eps into the imported config (timm ViT 1e-6,
+    HF ViT layer_norm_eps) so imports run with their native value."""
     from arsvt_tpu.ops.dispatch import use_ln_vjp
 
     if use_ln_vjp():
