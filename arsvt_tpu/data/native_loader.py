@@ -32,13 +32,17 @@ def _load() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except (OSError, subprocess.SubprocessError):
+        # `make` is mtime-aware: it rebuilds only when arsvt_loader.cpp is
+        # newer than the .so, so a prebuilt binary can never silently
+        # shadow newer source. On a box without the toolchain the failed
+        # make falls back to an existing .so (PIL fallback otherwise).
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            if not os.path.exists(_SO_PATH):
                 _build_failed = True
                 return None
         try:
