@@ -181,3 +181,32 @@ def test_native_box_transform_matches_decoded_geometry(tmp_path):
     scale = 255.0 if images.dtype == np.uint8 else 1.0
     content = row_means[int(pad_y):int(pad_y) + nh] / scale
     assert content.mean() > 0.6  # the gray (200/255) image rows
+
+
+def test_stale_so_rebuilds_on_load(tmp_path, monkeypatch):
+    """A prebuilt .so must never shadow newer C++ source: _load() runs the
+    mtime-aware make, so an edited arsvt_loader.cpp rebuilds on first use
+    (the binary ships in the repo, so the old missing-file-only trigger
+    never fired)."""
+    import os
+    import shutil
+
+    src = os.path.join(os.path.dirname(native_loader.__file__), "..", "..",
+                       "native")
+    work = tmp_path / "native"
+    work.mkdir()
+    for f in ("arsvt_loader.cpp", "Makefile", "libarsvt_loader.so"):
+        shutil.copy(os.path.join(src, f), work / f)
+    so = work / "libarsvt_loader.so"
+    cpp = work / "arsvt_loader.cpp"
+    # make the binary stale: source strictly newer
+    old = os.path.getmtime(str(cpp)) - 100
+    os.utime(str(so), (old, old))
+    assert os.path.getmtime(str(so)) < os.path.getmtime(str(cpp))
+
+    monkeypatch.setattr(native_loader, "_NATIVE_DIR", str(work))
+    monkeypatch.setattr(native_loader, "_SO_PATH", str(so))
+    monkeypatch.setattr(native_loader, "_lib", None)
+    monkeypatch.setattr(native_loader, "_build_failed", False)
+    assert native_loader.available()
+    assert os.path.getmtime(str(so)) >= os.path.getmtime(str(cpp))
