@@ -37,6 +37,7 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: requires a real TPU device")
+    config.addinivalue_line("markers", "slow: multi-second host-side test")
 
 
 def pytest_collection_modifyitems(config, items):
