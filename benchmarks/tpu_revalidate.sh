@@ -20,13 +20,18 @@ if ! timeout 120 python -c "import jax; print(jax.devices())"; then
     exit 3
 fi
 
-echo "=== 1/3 kernel parity (tests/test_pallas_kernels.py) ==="
+echo "=== 1/4 kernel parity (tests/test_pallas_kernels.py) ==="
 timeout 3600 python -m pytest tests/test_pallas_kernels.py -q || exit 1
 
-echo "=== 2/3 full bench (bench.py, BASELINE matrix) ==="
+echo "=== 2/4 full bench (bench.py, BASELINE matrix) ==="
 timeout 7200 python bench.py || exit 1
 
-echo "=== 3/3 full test suite ==="
+echo "=== 3/4 full test suite ==="
 timeout 3600 python -m pytest tests/ -q || exit 1
+
+echo "=== 4/4 serving load (16 concurrent clients, micro-batching) ==="
+timeout 1200 python benchmarks/serving_load.py --clients 16 --duration 30 \
+    --max-batch 8 --preset vit_base_16_224 \
+    | tee serving_load_tpu.json || exit 1
 
 echo "=== TPU revalidation complete ==="
