@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from arsvt_tpu.ops.dispatch import use_pallas
+from arsvt_tpu.ops.dispatch import force_jnp_attention, use_pallas
 
 
 def sdpa_reference(q, k, v, *, mask=None, dropout_rate: float = 0.0,
@@ -66,7 +66,8 @@ def multi_head_attention(q, k, v, *, mask=None, force_reference: bool = False,
     distribution). Arbitrary `mask` still routes to the reference impl.
     """
     dropping = dropout_rate > 0.0 and dropout_rng is not None
-    if force_reference or not use_pallas() or (dropping and mask is not None):
+    if (force_reference or not use_pallas() or force_jnp_attention()
+            or (dropping and mask is not None)):
         return sdpa_reference(
             q, k, v, mask=mask,
             dropout_rate=dropout_rate if dropping else 0.0,
@@ -95,7 +96,7 @@ def self_attention_from_qkv(qkv_flat, num_heads: int,
     d = three_d // 3
     head_dim = d // num_heads
     dropping = dropout_rate > 0.0 and dropout_rng is not None
-    if not (force_reference or not use_pallas()):
+    if not (force_reference or not use_pallas() or force_jnp_attention()):
         # Residual-lean fused path: saves (qkv_flat, out, lse) only — the
         # transpose+flash composition below would additionally store the
         # (3,B,H,S,hd) transposed views as residuals (~2.8 GB at ViT-B

@@ -45,6 +45,18 @@ def use_attn_save_probs() -> bool:
     return use_pallas() and bool(os.environ.get("ARSVT_ATTN_SAVE_PROBS"))
 
 
+def force_jnp_attention() -> bool:
+    """Opt-in (ARSVT_ATTN_JNP=1): route multi-head attention through the
+    jnp sdpa path even on TPU. Measurement toggle for geometries where
+    the per-(batch-block, head) flash grid is overhead-bound rather than
+    MXU-bound — e.g. the reference detector's head_dim=16 (25 heads of 16
+    occupy a full 128-lane tile each, so the kernel's score matmuls run at
+    1/8 MXU utilization either way and XLA's batched-matmul lowering can
+    win on dispatch overhead; benchmarks/detector_profile.py A/Bs this).
+    """
+    return bool(os.environ.get("ARSVT_ATTN_JNP"))
+
+
 def use_fused_encoder_attention(num_heads: int, head_dim: int) -> bool:
     """Direct-layout fused qkv-proj→attention→out-proj block: reads per-head
     column blocks straight from the (B,S,3D) projection output — zero HBM
@@ -54,7 +66,7 @@ def use_fused_encoder_attention(num_heads: int, head_dim: int) -> bool:
     reference's 400-dim DeiT) use the packed VJP path."""
     if os.environ.get("ARSVT_DISABLE_FUSED_ATTN"):
         return False
-    if not use_pallas():
+    if not use_pallas() or force_jnp_attention():
         return False
     from arsvt_tpu.ops.pallas.flash_attention import _direct_supported
 
