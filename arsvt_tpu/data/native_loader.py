@@ -62,6 +62,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.arsvt_load_batch_ex.restype = ctypes.c_int
+        lib.arsvt_load_batch_ex.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.arsvt_load_batch_u8_ex.restype = ctypes.c_int
+        lib.arsvt_load_batch_u8_ex.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.arsvt_probe_image.restype = ctypes.c_int
         lib.arsvt_probe_image.argtypes = [
             ctypes.c_char_p,
@@ -82,14 +94,25 @@ def available() -> bool:
 
 def load_letterboxed_batch(paths: list[str], canvas: int,
                            *, threads: int | None = None,
-                           dtype=np.float32, strict: bool = True):
+                           dtype=np.float32, strict: bool = True,
+                           scaled_decode: bool | None = None):
     """Decode+letterbox a batch natively.
 
-    Returns (images (B, canvas, canvas, 3), meta (B, 4) fp32
-    [scale, pad_x, pad_y, ok]). `dtype=np.uint8` emits raw 0..255 bytes —
-    4x less host RAM and H2D traffic than fp32 [0,1] (the device rescales
-    at the top of the jitted step); `np.float32` emits [0,1].
-    Raises RuntimeError if the native library is unavailable.
+    Returns (images (B, canvas, canvas, 3), meta fp32). Meta rows are
+    [scale, pad_x, pad_y, ok] — plus [dec_w, dec_h] (the post-EXIF dims
+    the letterbox consumed) when `scaled_decode` is on. `dtype=np.uint8`
+    emits raw 0..255 bytes — 4x less host RAM and H2D traffic than fp32
+    [0,1] (the device rescales at the top of the jitted step);
+    `np.float32` emits [0,1]. Raises RuntimeError if the native library
+    is unavailable.
+
+    `scaled_decode` (None = honor ARSVT_SCALED_DECODE env): JPEGs decode
+    directly at the smallest libjpeg M/8 DCT scale whose longest side is
+    still >= canvas — skips most IDCT work on downscales (e.g. 640x480 ->
+    224 decodes at 3/8 = ~14% of the full-decode pixel count), at the
+    cost of the decoded pixels differing slightly from full-decode +
+    box-reduce + bilinear (both are downscale prefilters; geometry stays
+    exact because box transforms consume the decoded dims from meta).
 
     `strict=True` (default) raises ValueError when any image fails to
     decode — matching the PIL fallback, which raises on corrupt files.
@@ -100,25 +123,28 @@ def load_letterboxed_batch(paths: list[str], canvas: int,
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable (build failed)")
+    if scaled_decode is None:
+        scaled_decode = bool(os.environ.get("ARSVT_SCALED_DECODE"))
     n = len(paths)
     if threads is None:
         threads = min(max(os.cpu_count() or 1, 1), 16)
-    meta = np.empty((n, 4), np.float32)
+    meta = np.empty((n, 6 if scaled_decode else 4), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    mp = meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     if np.dtype(dtype) == np.uint8:
         images = np.empty((n, canvas, canvas, 3), np.uint8)
-        lib.arsvt_load_batch_u8(
-            arr, n, canvas, threads,
-            images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        ip = images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if scaled_decode:
+            lib.arsvt_load_batch_u8_ex(arr, n, canvas, threads, 1, ip, mp)
+        else:
+            lib.arsvt_load_batch_u8(arr, n, canvas, threads, ip, mp)
     else:
         images = np.empty((n, canvas, canvas, 3), np.float32)
-        lib.arsvt_load_batch(
-            arr, n, canvas, threads,
-            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        ip = images.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if scaled_decode:
+            lib.arsvt_load_batch_ex(arr, n, canvas, threads, 1, ip, mp)
+        else:
+            lib.arsvt_load_batch(arr, n, canvas, threads, ip, mp)
     if strict:
         failed = np.where(meta[:, 3] == 0.0)[0]
         if failed.size:
@@ -183,13 +209,25 @@ def box_transform_from_meta(meta_row, canvas: int):
     Not interchangeable with pipeline.letterbox's transform: the PIL
     fallback resizes without the C++ core's integer box-reduce prefilter
     and rounds dims with Python round(), so the two paths can differ by
-    1px in resized dims — each path's boxes align with ITS OWN pixels."""
+    1px in resized dims — each path's boxes align with ITS OWN pixels.
+
+    6-wide meta rows (the `_ex`/scaled-decode path) carry the post-EXIF
+    decoded dims the letterbox actually consumed; the transform replays
+    the resize math on THOSE instead of the caller's original dims, so
+    boxes stay aligned with the scaled-decoded pixels (normalized box
+    coords are scale-invariant, so the original dims drop out)."""
     pad_x, pad_y = float(meta_row[1]), float(meta_row[2])
+    dec_w = dec_h = 0
+    if len(meta_row) >= 6:
+        dec_w, dec_h = int(meta_row[4]), int(meta_row[5])
 
     def transform(boxes: np.ndarray, orig_w: int, orig_h: int) -> np.ndarray:
         if boxes.size == 0:
             return boxes
-        nw, nh = _native_resized_dims(orig_w, orig_h, canvas)
+        if dec_w > 0 and dec_h > 0:
+            nw, nh = _native_resized_dims(dec_w, dec_h, canvas)
+        else:
+            nw, nh = _native_resized_dims(orig_w, orig_h, canvas)
         px = boxes * np.array([nw, nh, nw, nh], np.float32)
         px += np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
         return px / canvas

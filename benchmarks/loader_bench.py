@@ -51,26 +51,35 @@ def main():
         paths.append(p)
 
     results = {}
-    for name, dtype in (("fp32", np.float32), ("uint8", np.uint8)):
-        native_loader.load_letterboxed_batch(paths[:4], args.canvas,
-                                             dtype=dtype, threads=1)  # warm
+    for name, dtype, scaled in (
+        ("fp32", np.float32, False),
+        ("uint8", np.uint8, False),
+        ("uint8+dct", np.uint8, True),  # DCT-domain scaled JPEG decode
+    ):
+        native_loader.load_letterboxed_batch(
+            paths[:4], args.canvas, dtype=dtype, threads=1,
+            scaled_decode=scaled)  # warm
         best = 0.0
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             images, meta = native_loader.load_letterboxed_batch(
-                paths, args.canvas, dtype=dtype, threads=1
+                paths, args.canvas, dtype=dtype, threads=1,
+                scaled_decode=scaled,
             )
             dt = time.perf_counter() - t0
             best = max(best, len(paths) / dt)
         bytes_per_img = images[0].nbytes
         results[name] = (best, bytes_per_img)
-        print(f"{name:>6}: {best:7.1f} img/s/core, "
+        print(f"{name:>9}: {best:7.1f} img/s/core, "
               f"{bytes_per_img/1024:.0f} KB/image at canvas {args.canvas}")
 
     f32_ips, f32_b = results["fp32"]
     u8_ips, u8_b = results["uint8"]
+    dct_ips, _ = results["uint8+dct"]
     print(f"uint8 vs fp32: {u8_ips/f32_ips:.2f}x decode throughput, "
           f"{f32_b/u8_b:.1f}x less host RAM / H2D bytes")
+    print(f"scaled decode vs uint8: {dct_ips/u8_ips:.2f}x "
+          f"(src {args.src_size} -> canvas {args.canvas})")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

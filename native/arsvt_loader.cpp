@@ -13,6 +13,14 @@
 // Exposed C ABI (ctypes-bound in arsvt_tpu/data/native_loader.py):
 //   arsvt_load_batch(paths, n, canvas, threads, out_images, out_meta)
 //     out_meta per image: [scale, pad_x, pad_y, ok]
+//   arsvt_load_batch_ex(..., flags, ...) — flags bit0 enables DCT-domain
+//     scaled JPEG decode (libjpeg scale_num/8: decode directly at the
+//     smallest 1/8-step scale whose longest side is still >= canvas —
+//     skips most IDCT + color-convert work on downscales, e.g. ~(3/8)^2
+//     of the full-decode cost for 640x480 -> 224); out_meta rows are 6
+//     wide: [scale, pad_x, pad_y, ok, dec_w, dec_h] where dec_* are the
+//     post-EXIF dims the letterbox actually consumed (box transforms use
+//     them instead of re-deriving scaled dims in Python)
 //   arsvt_decode_image(path, &w, &h)  (debug/single-image helper)
 
 #include <algorithm>
@@ -119,7 +127,20 @@ void apply_orientation(Image* img, int o) {
   img->h = nh;
 }
 
-bool decode_jpeg(FILE* f, Image* out, int* orientation) {
+// Smallest libjpeg scale_num M in 1..8 with ceil(longest*M/8) >=
+// min_longest (libjpeg computes output dims as ceil(dim*M/8)); 8 = full.
+int jpeg_scale_num(int longest, int min_longest) {
+  if (min_longest <= 0 || longest <= min_longest) return 8;
+  for (int m = 1; m < 8; m++) {
+    if (((long long)longest * m + 7) / 8 >= (long long)min_longest) {
+      return m;
+    }
+  }
+  return 8;
+}
+
+bool decode_jpeg(FILE* f, Image* out, int* orientation,
+                 int min_longest = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -141,6 +162,17 @@ bool decode_jpeg(FILE* f, Image* out, int* orientation) {
     }
   }
   cinfo.out_color_space = JCS_RGB;
+  if (min_longest > 0) {
+    // Scaling happens pre-EXIF-rotation; the longest side is invariant
+    // under the transposing orientations, so the M choice is too.
+    const int longest = (int)std::max(cinfo.image_width,
+                                      cinfo.image_height);
+    const int m = jpeg_scale_num(longest, min_longest);
+    if (m < 8) {
+      cinfo.scale_num = m;
+      cinfo.scale_denom = 8;
+    }
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -187,7 +219,7 @@ bool decode_png(FILE* f, Image* out) {
   return true;
 }
 
-bool decode_file(const char* path, Image* out) {
+bool decode_file(const char* path, Image* out, int min_longest = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -196,9 +228,9 @@ bool decode_file(const char* path, Image* out) {
   bool ok = false;
   int orientation = 0;
   if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out, &orientation);
+    ok = decode_jpeg(f, out, &orientation, min_longest);
   } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png(f, out);  // PNG carries no EXIF orientation
+    ok = decode_png(f, out);  // PNG has no DCT scaling; full decode
   }
   fclose(f);
   if (ok && orientation > 1) apply_orientation(out, orientation);
@@ -352,8 +384,10 @@ void letterbox_into(const Image& img_in, int canvas, OutT* out, float* meta) {
 
 template <typename OutT>
 int load_batch_impl(const char** paths, int n, int canvas, int threads,
-                    OutT* out_images, float* out_meta) {
+                    OutT* out_images, float* out_meta, int flags = 0,
+                    int meta_stride = 4) {
   if (n <= 0 || canvas <= 0) return -1;
+  const int min_longest = (flags & 1) ? canvas : 0;
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
   auto worker = [&]() {
@@ -361,15 +395,20 @@ int load_batch_impl(const char** paths, int n, int canvas, int threads,
       int i = next.fetch_add(1);
       if (i >= n) break;
       OutT* out = out_images + size_t(i) * canvas * canvas * 3;
-      float* meta = out_meta + size_t(i) * 4;
+      float* meta = out_meta + size_t(i) * meta_stride;
       Image img;
-      if (decode_file(paths[i], &img)) {
+      if (decode_file(paths[i], &img, min_longest)) {
         letterbox_into(img, canvas, out, meta);
+        if (meta_stride >= 6) {
+          meta[4] = float(img.w);  // post-EXIF dims the letterbox consumed
+          meta[5] = float(img.h);
+        }
       } else {
         std::memset(out, 0, size_t(canvas) * canvas * 3 * sizeof(OutT));
         meta[0] = 1.0f;
         meta[1] = meta[2] = 0.0f;
         meta[3] = 0.0f;
+        if (meta_stride >= 6) meta[4] = meta[5] = 0.0f;
         failures.fetch_add(1);
       }
     }
@@ -400,6 +439,23 @@ int arsvt_load_batch(const char** paths, int n, int canvas, int threads,
 int arsvt_load_batch_u8(const char** paths, int n, int canvas, int threads,
                         uint8_t* out_images, float* out_meta) {
   return load_batch_impl(paths, n, canvas, threads, out_images, out_meta);
+}
+
+// _ex variants: `flags` bit0 = DCT-domain scaled JPEG decode (header
+// comment). out_meta rows are SIX floats: [scale, pad_x, pad_y, ok,
+// dec_w, dec_h]; dec_* are the post-EXIF decoded dims (full dims for
+// PNG/unscaled JPEG), 0 on decode failure.
+int arsvt_load_batch_ex(const char** paths, int n, int canvas, int threads,
+                        int flags, float* out_images, float* out_meta) {
+  return load_batch_impl(paths, n, canvas, threads, out_images, out_meta,
+                         flags, 6);
+}
+
+int arsvt_load_batch_u8_ex(const char** paths, int n, int canvas,
+                           int threads, int flags, uint8_t* out_images,
+                           float* out_meta) {
+  return load_batch_impl(paths, n, canvas, threads, out_images, out_meta,
+                         flags, 6);
 }
 
 // Single-image decode helper (streaming sorter path): returns 0 on success

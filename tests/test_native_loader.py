@@ -183,6 +183,72 @@ def test_native_box_transform_matches_decoded_geometry(tmp_path):
     assert content.mean() > 0.6  # the gray (200/255) image rows
 
 
+def test_scaled_decode_geometry_and_pixels(tmp_path):
+    """DCT-scaled JPEG decode (arsvt_load_batch_ex flags bit0): a 640x480
+    JPEG letterboxed to 224 decodes at libjpeg scale 3/8 -> 240x180. Meta
+    carries the decoded dims, the box transform follows them, and the
+    pixels stay close to the exact full-decode path (both are downscale
+    prefilters, not the same filter)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    # smooth image so prefilter differences stay small
+    base = rng.uniform(60, 200, (30, 40, 3)).astype(np.uint8)
+    big = np.asarray(
+        Image.fromarray(base).resize((640, 480), Image.BILINEAR)
+    )
+    path = str(tmp_path / "big.jpg")
+    Image.fromarray(big).save(path, quality=95)
+
+    canvas = 224
+    exact, meta_exact = native_loader.load_letterboxed_batch(
+        [path], canvas, scaled_decode=False
+    )
+    scaled, meta_scaled = native_loader.load_letterboxed_batch(
+        [path], canvas, scaled_decode=True
+    )
+    assert meta_exact.shape[1] == 4 and meta_scaled.shape[1] == 6
+    # smallest M with ceil(640*M/8) >= 224 is M=3 -> 240x180
+    assert (meta_scaled[0, 4], meta_scaled[0, 5]) == (240.0, 180.0)
+    # same letterbox geometry (both reach 224x168 content)
+    np.testing.assert_allclose(meta_scaled[0, 1:4], meta_exact[0, 1:4])
+    # pixels: different prefilters, same image content
+    assert np.abs(scaled.astype(np.float32)
+                  - exact.astype(np.float32)).mean() < 0.02
+
+    # box transform replays the resize on the DECODED dims
+    tf_scaled = native_loader.box_transform_from_meta(meta_scaled[0], canvas)
+    tf_exact = native_loader.box_transform_from_meta(meta_exact[0], canvas)
+    boxes = np.array([[0.1, 0.25, 0.8, 0.75]], np.float32)
+    np.testing.assert_allclose(
+        tf_scaled(boxes, 640, 480), tf_exact(boxes, 640, 480), atol=1e-5
+    )
+
+
+def test_scaled_decode_small_image_and_png_full_decode(tmp_path):
+    """Images already <= canvas skip DCT scaling; PNGs always decode full
+    (no DCT domain) — both still report their true dims in 6-wide meta
+    and match the exact path bit-for-bit."""
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    small = rng.integers(0, 255, (50, 70, 3), np.uint8)
+    jpg = str(tmp_path / "small.jpg")
+    png = str(tmp_path / "img.png")
+    Image.fromarray(small).save(jpg, quality=95)
+    Image.fromarray(small).save(png)
+
+    for path in (jpg, png):
+        exact, _ = native_loader.load_letterboxed_batch(
+            [path], 96, scaled_decode=False
+        )
+        scaled, meta = native_loader.load_letterboxed_batch(
+            [path], 96, scaled_decode=True
+        )
+        assert (meta[0, 4], meta[0, 5]) == (70.0, 50.0)
+        np.testing.assert_array_equal(scaled, exact)
+
+
 def test_stale_so_rebuilds_on_load(tmp_path, monkeypatch):
     """A prebuilt .so must never shadow newer C++ source: _load() runs the
     mtime-aware make, so an edited arsvt_loader.cpp rebuilds on first use
