@@ -19,6 +19,7 @@ Train-pipeline parity (train.py:387-443):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -245,8 +246,8 @@ def _gather_px(image, yi, xi):
     return jnp.where(valid[:, None], vals, 0.0)
 
 
-def _bilinear_warp(image, inv_matrix):
-    """Sample image at inv_matrix @ output coords; zeros outside."""
+def _bilinear_warp_taps(image, inv_matrix):
+    """Four independent 2-D gathers, one per bilinear tap."""
     h, w, c = image.shape
     sx, sy = _src_coords(image, inv_matrix)
     x0 = jnp.floor(sx)
@@ -260,6 +261,99 @@ def _bilinear_warp(image, inv_matrix):
         + _gather_px(image, y0 + 1, x0 + 1) * wy * wx
     )
     return out.reshape(h, w, c)
+
+
+def _gather_px_flat(image, yi, xi):
+    """Same contract as _gather_px via ONE collapsed linear index into the
+    (H*W, C) flattened image — a 1-D gather instead of a 2-D one."""
+    h, w, _ = image.shape
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    vals = jnp.take(image.reshape(h * w, -1), yi_c * w + xi_c, axis=0)
+    return jnp.where(valid[:, None], vals, 0.0)
+
+
+def _bilinear_warp_flat(image, inv_matrix):
+    """Bilinear warp with linear-index 1-D gathers (same math as taps)."""
+    h, w, c = image.shape
+    sx, sy = _src_coords(image, inv_matrix)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[:, None]
+    wy = (sy - y0)[:, None]
+    out = (
+        _gather_px_flat(image, y0, x0) * (1 - wy) * (1 - wx)
+        + _gather_px_flat(image, y0, x0 + 1) * (1 - wy) * wx
+        + _gather_px_flat(image, y0 + 1, x0) * wy * (1 - wx)
+        + _gather_px_flat(image, y0 + 1, x0 + 1) * wy * wx
+    )
+    return out.reshape(h, w, c)
+
+
+def _bilinear_warp_patch(image, inv_matrix):
+    """Bilinear warp with ONE lax.gather of (2,2,C) patches.
+
+    The four taps of a pixel live in one 2x2 neighborhood; gathering the
+    patch once and selecting corners with elementwise `where`s trades 4
+    gathers for 1 gather + cheap VPU selects. Clipped patch origins keep
+    edge reads in bounds; each tap's true offset inside the clipped patch
+    is recomputed (0 or 1) and out-of-image taps are masked to zero, so
+    the result is tap-for-tap identical to the other variants."""
+    h, w, c = image.shape
+    sx, sy = _src_coords(image, inv_matrix)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[:, None]
+    wy = (sy - y0)[:, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    oy = jnp.clip(y0i, 0, h - 2)
+    ox = jnp.clip(x0i, 0, w - 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    patch = jax.lax.gather(
+        image, jnp.stack([oy, ox], axis=1), dn, slice_sizes=(2, 2, c),
+        mode="clip",
+    )  # (HW, 2, 2, C)
+
+    def tap(ty, tx):
+        valid = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        ry = jnp.clip(ty - oy, 0, 1)[:, None, None]
+        rx = jnp.clip(tx - ox, 0, 1)
+        row = jnp.where(ry == 0, patch[:, 0], patch[:, 1])  # (HW, 2, C)
+        val = jnp.where((rx == 0)[:, None], row[:, 0], row[:, 1])
+        return jnp.where(valid[:, None], val, 0.0)
+
+    out = (
+        tap(y0i, x0i) * (1 - wy) * (1 - wx)
+        + tap(y0i, x0i + 1) * (1 - wy) * wx
+        + tap(y0i + 1, x0i) * wy * (1 - wx)
+        + tap(y0i + 1, x0i + 1) * wy * wx
+    )
+    return out.reshape(h, w, c)
+
+
+_BILINEAR_VARIANTS = {
+    "taps": _bilinear_warp_taps,
+    "flat": _bilinear_warp_flat,
+    "patch": _bilinear_warp_patch,
+}
+
+
+def _bilinear_warp(image, inv_matrix):
+    """Sample image at inv_matrix @ output coords; zeros outside.
+
+    Gathers are the TPU weak spot and this op is the augmentation
+    pipeline's dominant cost (~89 ms per bs32x256² batch with the "taps"
+    variant — most of the reference-config detector step). The three
+    variants compute tap-for-tap identical results (parity-pinned in
+    tests/test_data.py); ARSVT_WARP_VARIANT selects one, and
+    benchmarks/warp_bench.py measures them on the chip."""
+    name = os.environ.get("ARSVT_WARP_VARIANT", "taps")
+    return _BILINEAR_VARIANTS[name](image, inv_matrix)
 
 
 def _lanczos4_weights(frac):

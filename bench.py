@@ -551,6 +551,8 @@ def main():
             result["datafed_images_per_sec"] = row["data_fed_img_s"]
             result["datafed_loader_only_images_per_sec"] = row[
                 "loader_only_img_s"]
+            result["datafed_loader_scaled_decode_images_per_sec"] = row.get(
+                "loader_only_scaled_decode_img_s")
             result["datafed_bound_by"] = (
                 f"{row['bound_by']} ({row['host_cores']} host core(s))")
         except Exception as e:

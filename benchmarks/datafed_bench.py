@@ -96,6 +96,25 @@ def _run(args, tmp):
     batches.close(wait=True)
     log(f"loader_only: {loader_only:.1f} img/s")
 
+    # ---- loader-only with DCT-scaled JPEG decode (the opt-in host knob:
+    # ARSVT_SCALED_DECODE=1; on these noise-background synthetic JPEGs the
+    # gain is entropy-decode-bound ~1.2x; photo-like inputs measure 1.7x,
+    # benchmarks/loader_bench.py) ---------------------------------------
+    os.environ["ARSVT_SCALED_DECODE"] = "1"
+    try:
+        batches = classification_batches(
+            ds, batch_size=args.batch_size, canvas=256, seed=0
+        )
+        next(batches)
+        t0 = time.time()
+        for _ in range(n_drain):
+            next(batches)
+        loader_scaled = n_drain * args.batch_size / (time.time() - t0)
+        batches.close(wait=True)
+    finally:
+        del os.environ["ARSVT_SCALED_DECODE"]
+    log(f"loader_only (scaled decode): {loader_scaled:.1f} img/s")
+
     # ---- train step (champion bench config) -----------------------------
     cfg = TrainConfig(
         preset="vit_base_16_224", batch_size=args.batch_size, bf16=True,
@@ -143,6 +162,7 @@ def _run(args, tmp):
     predicted = min(loader_only, step_only)
     result = {
         "loader_only_img_s": round(loader_only, 1),
+        "loader_only_scaled_decode_img_s": round(loader_scaled, 1),
         "step_only_img_s": round(step_only, 1),
         "data_fed_img_s": round(data_fed, 1),
         "predicted_min_img_s": round(predicted, 1),

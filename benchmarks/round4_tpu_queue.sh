@@ -38,6 +38,10 @@ run bench 7200 python bench.py
 # 3. [#3] detector step decomposition + attention-path A/B
 run detprofile 3600 python benchmarks/detector_profile.py
 
+# 3b. [#3] affine-warp gather strategy A/B (augmentation is the prime
+# suspect for most of the detector step; the winner becomes the default)
+run warpbench 1800 python benchmarks/warp_bench.py
+
 # 4. [#1] full suite on TPU
 run suite 5400 python -m pytest tests/ -q
 

@@ -125,6 +125,32 @@ def test_affine_identity():
     assert bool(nm[0])
 
 
+def test_bilinear_warp_variants_identical():
+    """The three gather strategies (taps / flat linear-index / single
+    2x2-patch gather) must be tap-for-tap identical — they are perf
+    variants of one op (ARSVT_WARP_VARIANT; benchmarks/warp_bench.py),
+    not different resamplers. Exercises interior, out-of-image and
+    edge-straddling taps via a big rotation + translation."""
+    from arsvt_tpu.data.augment import _BILINEAR_VARIANTS
+
+    img = jax.random.uniform(jax.random.PRNGKey(3), (24, 20, 3))
+    th = 0.6
+    rot = (
+        jnp.eye(3)
+        .at[0, 0].set(jnp.cos(th)).at[0, 1].set(-jnp.sin(th))
+        .at[1, 0].set(jnp.sin(th)).at[1, 1].set(jnp.cos(th))
+        .at[0, 2].set(3.7).at[1, 2].set(-2.2)
+    )
+    outs = {
+        name: np.asarray(fn(img, jnp.linalg.inv(rot)))
+        for name, fn in _BILINEAR_VARIANTS.items()
+    }
+    np.testing.assert_allclose(outs["flat"], outs["taps"], atol=1e-6)
+    np.testing.assert_allclose(outs["patch"], outs["taps"], atol=1e-6)
+    # zeros outside the source footprint (the warp's padding contract)
+    assert outs["taps"].min() >= 0.0 and np.any(outs["taps"] == 0.0)
+
+
 def test_affine_translate_kills_offscreen_box():
     key = jax.random.PRNGKey(2)
     img = jax.random.uniform(key, (16, 16, 3))
