@@ -91,6 +91,13 @@ def main():
         ms = timeit(warp_batch(fn), keys, imgs)
         result[f"warp_{name}_ms"] = round(ms, 2)
         log(f"warp {name:6s}: {ms:8.2f} ms / batch")
+    # bf16 input halves the gathered bytes — if the gather is
+    # byte-bound (not index-bound) this is another ~2x on the table
+    imgs16 = imgs.astype(jnp.bfloat16)
+    for name, fn in _BILINEAR_VARIANTS.items():
+        ms = timeit(warp_batch(fn), keys, imgs16)
+        result[f"warp_{name}_bf16_ms"] = round(ms, 2)
+        log(f"warp {name:6s} (bf16): {ms:8.2f} ms / batch")
     ms = timeit(warp_batch(_lanczos4_warp), keys, imgs)
     result["warp_lanczos4_ms"] = round(ms, 2)
     log(f"warp lanczos4: {ms:7.2f} ms / batch")
