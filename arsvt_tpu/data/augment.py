@@ -29,6 +29,20 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def augment_input_cast(images):
+    """Opt-in (ARSVT_AUGMENT_BF16=1): run the on-device augmentation in
+    bf16 instead of fp32 — halves the warp-gather and elementwise HBM
+    traffic of the fused augmentation stage. Pixel precision near 1.0 is
+    2^-8 in bf16, the same granularity as the uint8 source pixels, and
+    the model consumes bf16 (compute dtype) right after augmentation
+    anyway; default stays fp32 so augmented pixels match the fp32
+    oracles bit-for-bit. Measured per-variant in
+    benchmarks/warp_bench.py's bf16 rows."""
+    if os.environ.get("ARSVT_AUGMENT_BF16"):
+        return images.astype(jnp.bfloat16)
+    return images
+
+
 # ------------------------------------------------------------ photometric
 
 
@@ -45,17 +59,20 @@ def denormalize(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
 
 
 def adjust_brightness(image, factor):
-    return image * factor
+    # factors cast to image dtype: keeps the op dtype-stable so the
+    # ARSVT_AUGMENT_BF16 path's lax.switch branches agree (f32 default
+    # unchanged — the cast is a no-op there)
+    return image * jnp.asarray(factor, image.dtype)
 
 
 def adjust_contrast(image, factor):
     mean = jnp.mean(image, axis=(-3, -2, -1), keepdims=True)
-    return (image - mean) * factor + mean
+    return (image - mean) * jnp.asarray(factor, image.dtype) + mean
 
 
 def adjust_saturation(image, factor):
     gray = jnp.mean(image, axis=-1, keepdims=True)
-    return gray + (image - gray) * factor
+    return gray + (image - gray) * jnp.asarray(factor, image.dtype)
 
 
 def adjust_hue(image, radians):
@@ -252,8 +269,11 @@ def _bilinear_warp_taps(image, inv_matrix):
     sx, sy = _src_coords(image, inv_matrix)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    wx = (sx - x0)[:, None]
-    wy = (sy - y0)[:, None]
+    # weights in image dtype: under ARSVT_AUGMENT_BF16 the whole blend
+    # stays bf16 (weight granularity 2^-8 of a pixel step, immaterial
+    # for augmentation); fp32 images are untouched
+    wx = (sx - x0).astype(image.dtype)[:, None]
+    wy = (sy - y0).astype(image.dtype)[:, None]
     out = (
         _gather_px(image, y0, x0) * (1 - wy) * (1 - wx)
         + _gather_px(image, y0, x0 + 1) * (1 - wy) * wx
@@ -280,8 +300,11 @@ def _bilinear_warp_flat(image, inv_matrix):
     sx, sy = _src_coords(image, inv_matrix)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    wx = (sx - x0)[:, None]
-    wy = (sy - y0)[:, None]
+    # weights in image dtype: under ARSVT_AUGMENT_BF16 the whole blend
+    # stays bf16 (weight granularity 2^-8 of a pixel step, immaterial
+    # for augmentation); fp32 images are untouched
+    wx = (sx - x0).astype(image.dtype)[:, None]
+    wy = (sy - y0).astype(image.dtype)[:, None]
     out = (
         _gather_px_flat(image, y0, x0) * (1 - wy) * (1 - wx)
         + _gather_px_flat(image, y0, x0 + 1) * (1 - wy) * wx
@@ -304,8 +327,11 @@ def _bilinear_warp_patch(image, inv_matrix):
     sx, sy = _src_coords(image, inv_matrix)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    wx = (sx - x0)[:, None]
-    wy = (sy - y0)[:, None]
+    # weights in image dtype: under ARSVT_AUGMENT_BF16 the whole blend
+    # stays bf16 (weight granularity 2^-8 of a pixel step, immaterial
+    # for augmentation); fp32 images are untouched
+    wx = (sx - x0).astype(image.dtype)[:, None]
+    wy = (sy - y0).astype(image.dtype)[:, None]
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
     oy = jnp.clip(y0i, 0, h - 2)
@@ -353,7 +379,10 @@ def _bilinear_warp(image, inv_matrix):
     tests/test_data.py); ARSVT_WARP_VARIANT selects one, and
     benchmarks/warp_bench.py measures them on the chip."""
     name = os.environ.get("ARSVT_WARP_VARIANT", "taps")
-    return _BILINEAR_VARIANTS[name](image, inv_matrix)
+    # anchor the opt-in bf16 policy HERE: upstream photometric stages can
+    # re-promote to f32 (f32 random factors), and the warp's gathers are
+    # the traffic that halving actually pays for
+    return _BILINEAR_VARIANTS[name](augment_input_cast(image), inv_matrix)
 
 
 def _lanczos4_weights(frac):

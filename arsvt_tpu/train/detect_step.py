@@ -103,8 +103,12 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
         images = to_unit_float(batch["image"])  # uint8 rescales on device
         boxes, mask = batch["boxes"], batch["mask"]
         if aug:
+            from arsvt_tpu.data.augment import augment_input_cast
+
             rng, aug_rng = jax.random.split(rng)
-            images, boxes, mask = augment_batch(aug_rng, images, boxes, mask)
+            images, boxes, mask = augment_batch(
+                aug_rng, augment_input_cast(images), boxes, mask
+            )
         outputs, feats = apply_detector(
             compute_params,
             images.astype(policy.compute_dtype),

@@ -124,8 +124,10 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         compute_params = policy.cast_to_compute(params)
         images = to_unit_float(images)  # uint8 batches rescale on device
         if aug_cfg is not None:
+            from arsvt_tpu.data.augment import augment_input_cast
+
             rng, aug_rng = jax.random.split(rng)
-            images = augment_batch(aug_rng, images)
+            images = augment_batch(aug_rng, augment_input_cast(images))
         images = images.astype(policy.compute_dtype)
         if cfg.mixup_alpha > 0.0:
             rng, mix_rng = jax.random.split(rng)

@@ -151,6 +151,24 @@ def test_bilinear_warp_variants_identical():
     assert outs["taps"].min() >= 0.0 and np.any(outs["taps"] == 0.0)
 
 
+def test_augment_bf16_toggle(monkeypatch):
+    """ARSVT_AUGMENT_BF16=1 runs the warp in bf16 (half the gather
+    traffic): output dtype flips and pixels stay within bf16 quantization
+    of the fp32 result (pixel granularity 2^-8 ~= uint8's 1/255)."""
+    from arsvt_tpu.data.augment import _bilinear_warp
+
+    img = jax.random.uniform(jax.random.PRNGKey(4), (16, 16, 3))
+    m = jnp.eye(3).at[0, 2].set(1.3).at[1, 2].set(-0.7)
+    ref = _bilinear_warp(img, m)
+    assert ref.dtype == jnp.float32
+    monkeypatch.setenv("ARSVT_AUGMENT_BF16", "1")
+    out = _bilinear_warp(img, m)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=1.5 / 255
+    )
+
+
 def test_affine_translate_kills_offscreen_box():
     key = jax.random.PRNGKey(2)
     img = jax.random.uniform(key, (16, 16, 3))
