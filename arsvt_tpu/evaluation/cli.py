@@ -60,14 +60,21 @@ def main(argv=None):
     if not data_dir:
         raise SystemExit("--data-dir required (checkpoint has none)")
 
-    from arsvt_tpu.data.coco import CocoDataset
     from arsvt_tpu.data.pipeline import (
         classification_batches,
         detection_batches,
     )
     from arsvt_tpu.train.config import input_canvas
 
-    ds = CocoDataset(f"{data_dir}/{args.split}")
+    if cfg.task == "detect":
+        from arsvt_tpu.data.coco import CocoDataset
+
+        ds = CocoDataset(f"{data_dir}/{args.split}")
+    else:
+        # COCO split dirs or the TrashNet folder-per-class layout
+        from arsvt_tpu.data.folder import open_classification_split
+
+        ds = open_classification_split(data_dir, args.split)
     canvas = input_canvas(cfg)
 
     if cfg.task == "detect":

@@ -119,14 +119,24 @@ def make_data(cfg: TrainConfig, *, skip_batches: int = 0):
 
         return train, eval_batches
 
-    from arsvt_tpu.data.coco import CocoDataset
     from arsvt_tpu.data.pipeline import (
         classification_batches,
         detection_batches,
     )
 
-    train_ds = CocoDataset(f"{cfg.data_dir}/train")
-    val_ds = CocoDataset(f"{cfg.data_dir}/valid")
+    if cfg.task == "detect":
+        from arsvt_tpu.data.coco import CocoDataset
+
+        train_ds = CocoDataset(f"{cfg.data_dir}/train")
+        val_ds = CocoDataset(f"{cfg.data_dir}/valid")
+    else:
+        # classification accepts COCO splits OR the TrashNet-style
+        # folder-per-class layout (data/folder.py auto-detects, incl.
+        # the unsplit layout via a stable per-file hash split)
+        from arsvt_tpu.data.folder import open_classification_split
+
+        train_ds = open_classification_split(cfg.data_dir, "train")
+        val_ds = open_classification_split(cfg.data_dir, "valid")
     if train_ds.num_classes > cfg.num_classes:
         raise SystemExit(
             f"dataset has {train_ds.num_classes} classes "
