@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -362,10 +363,117 @@ def _bilinear_warp_patch(image, inv_matrix):
     return out.reshape(h, w, c)
 
 
+# ------------------------------------------- gather-free matmul warp
+#
+# TPU gathers fetch 3-element pixel slices through a 128-lane memory
+# system — the 4-tap warp above measured ~89 ms per bs32x256² batch on
+# the chip, most of the reference-config detector step, and every
+# gather formulation shares the scalar-access pathology. This variant
+# removes gathers entirely: the affine is decomposed into THREE 1-D
+# linear-resample passes (x scale+translate → y scale+shear → x shear),
+# and each 1-D pass is a banded-weight MATMUL (weights built from iota
+# arithmetic, band position = the pass's linear coordinate map) that
+# runs on the MXU. ~2 GFLOP + ~200 MB of weight traffic per bs32 batch
+# instead of 6.4 M scattered reads.
+#
+# APPROXIMATE: three sequential 1-D lerps are not the single 2-D
+# bilinear lerp (slightly more smoothing along diagonals) — same class
+# of documented resampler deviation as bilinear-vs-LANCZOS4
+# (random_affine docstring). Box geometry is EXACT: boxes transform
+# through the matrix itself (_transform_boxes), never the resampler.
+#
+# Decomposition (out→src map M = inv_matrix, b1=0 branch):
+#   pass1: x' = M00·x + M02                 (uniform x scale+translate)
+#   pass2: y' = (M11 − M10·M01/M00)·y + M10·x + M12   (y scale + shear)
+#   pass3: x  = x + (M01/M00)·y             (x shear)
+# Valid while |M00| is not tiny — the augmentation magnitude bounds
+# (|rot| ≤ 45°, |shear| ≤ 15°, scale ≈ 1) keep M00 ≥ ~0.3 and
+# |M01/M00| ≤ tan(60°) ≈ 1.73; the static intermediate-canvas pad
+# covers |b3| ≤ _SHEAR_MAX_SKEW (env ARSVT_SHEAR_MAXSKEW for wilder
+# matrices; band weights just clamp to zero beyond it).
+
+
+_SHEAR_MAX_SKEW = float(os.environ.get("ARSVT_SHEAR_MAXSKEW", "1.75"))
+
+
+def _band_weights(pos, n):
+    """(J,) fractional source positions -> (J, n) two-tap linear-interp
+    band matrix: W[j, i] = max(0, 1 - |pos[j] - i|). Out-of-range
+    positions get all-zero rows = the warp's zeros-outside contract."""
+    i = jax.lax.broadcasted_iota(jnp.float32, (pos.shape[0], n), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - i))
+
+
+def _shear_matmul_warp(image, inv_matrix):
+    h, w, c = image.shape
+    dt = image.dtype
+    m = inv_matrix.astype(jnp.float32)
+    m00, m01, m02 = m[0, 0], m[0, 1], m[0, 2]
+    m10, m11, m12 = m[1, 0], m[1, 1], m[1, 2]
+    b3 = m01 / m00
+    a2 = m11 - m10 * b3
+    pad = int(np.ceil(_SHEAR_MAX_SKEW * max(h, w)))
+    wp = w + 2 * pad
+
+    # pass 1 — x' = m00·(j − pad) + m02 over the padded x axis: one
+    # (wp, w) matmul shared by every row
+    pos1 = m00 * (jnp.arange(wp, dtype=jnp.float32) - pad) + m02
+    c1m = _band_weights(pos1, w).astype(dt)
+    t1 = jnp.einsum("ji,hic->hjc", c1m, image,
+                    preferred_element_type=jnp.float32).astype(dt)
+
+    # pass 2 — y' = a2·y + m10·(j − pad) + m12: per-column band matrices,
+    # chunked over column blocks to bound the (cols, h, h) weight tensor
+    blk = 128
+    nb = -(-wp // blk)
+    t1p = jnp.pad(t1, ((0, 0), (0, nb * blk - wp), (0, 0)))
+    t1b = t1p.reshape(h, nb, blk, c).transpose(1, 2, 0, 3)  # (nb,blk,h,c)
+
+    yy = jnp.arange(h, dtype=jnp.float32)
+
+    def pass2_block(b, tb):
+        # tb: (blk, h, c); columns j = b*blk + k − pad
+        j = b * blk + jnp.arange(blk, dtype=jnp.float32) - pad
+        posv = a2 * yy[None, :] + (m10 * j + m12)[:, None]  # (blk, h)
+        cm = _band_weights(posv.reshape(-1), h).reshape(blk, h, h)
+        return jnp.einsum("kyu,kuc->kyc", cm.astype(dt), tb,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    t2b = jax.lax.map(
+        lambda args: pass2_block(*args),
+        (jnp.arange(nb, dtype=jnp.float32), t1b),
+    )  # (nb, blk, h, c)
+    t2 = t2b.transpose(2, 0, 1, 3).reshape(h, nb * blk, c)[:, :wp]
+
+    # pass 3 — x = (j − pad) sampled at x_out + b3·y + pad: per-row band
+    # matrices over the padded axis, chunked over row blocks
+    rblk = 32
+    nrb = -(-h // rblk)
+    t2p = jnp.pad(t2, ((0, nrb * rblk - h), (0, 0), (0, 0)))
+    t2r = t2p.reshape(nrb, rblk, wp, c)
+
+    xx = jnp.arange(w, dtype=jnp.float32)
+
+    def pass3_block(r, tr):
+        # tr: (rblk, wp, c); rows y = r*rblk + s
+        y = r * rblk + jnp.arange(rblk, dtype=jnp.float32)
+        pos3 = xx[None, :] + b3 * y[:, None] + pad  # (rblk, w)
+        cm = _band_weights(pos3.reshape(-1), wp).reshape(rblk, w, wp)
+        return jnp.einsum("sxj,sjc->sxc", cm.astype(dt), tr,
+                          preferred_element_type=jnp.float32).astype(dt)
+
+    outr = jax.lax.map(
+        lambda args: pass3_block(*args),
+        (jnp.arange(nrb, dtype=jnp.float32), t2r),
+    )
+    return outr.reshape(nrb * rblk, w, c)[:h]
+
+
 _BILINEAR_VARIANTS = {
     "taps": _bilinear_warp_taps,
     "flat": _bilinear_warp_flat,
     "patch": _bilinear_warp_patch,
+    "shear_matmul": _shear_matmul_warp,
 }
 
 
@@ -374,9 +482,11 @@ def _bilinear_warp(image, inv_matrix):
 
     Gathers are the TPU weak spot and this op is the augmentation
     pipeline's dominant cost (~89 ms per bs32x256² batch with the "taps"
-    variant — most of the reference-config detector step). The three
-    variants compute tap-for-tap identical results (parity-pinned in
-    tests/test_data.py); ARSVT_WARP_VARIANT selects one, and
+    variant — most of the reference-config detector step). The gather
+    variants (taps/flat/patch) compute tap-for-tap identical results
+    (parity-pinned in tests/test_data.py); "shear_matmul" is the
+    gather-FREE three-pass MXU formulation (approximate resampler, see
+    its section comment). ARSVT_WARP_VARIANT selects one;
     benchmarks/warp_bench.py measures them on the chip."""
     name = os.environ.get("ARSVT_WARP_VARIANT", "taps")
     # anchor the opt-in bf16 policy HERE: upstream photometric stages can

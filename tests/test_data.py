@@ -144,11 +144,54 @@ def test_bilinear_warp_variants_identical():
     outs = {
         name: np.asarray(fn(img, jnp.linalg.inv(rot)))
         for name, fn in _BILINEAR_VARIANTS.items()
+        if name != "shear_matmul"  # approximate — own test below
     }
     np.testing.assert_allclose(outs["flat"], outs["taps"], atol=1e-6)
     np.testing.assert_allclose(outs["patch"], outs["taps"], atol=1e-6)
     # zeros outside the source footprint (the warp's padding contract)
     assert outs["taps"].min() >= 0.0 and np.any(outs["taps"] == 0.0)
+
+
+def test_shear_matmul_warp_close_to_bilinear():
+    """The gather-free 3-pass matmul warp is a different (slightly more
+    smoothing) resampler, not a different transform: exact for pure
+    scale+translate (each pass degenerates to one 1-D lerp), close to
+    direct bilinear for rotation+shear on smooth content, and zero
+    outside the source footprint."""
+    from arsvt_tpu.data.augment import (
+        _bilinear_warp_taps,
+        _shear_matmul_warp,
+    )
+
+    # smooth image: bilinear-resized noise
+    small = jax.random.uniform(jax.random.PRNGKey(5), (6, 6, 3))
+    img = jax.image.resize(small, (48, 40, 3), "linear")
+
+    # pure translate+scale: exact (same single-axis lerps)
+    m = jnp.diag(jnp.asarray([1.04, 0.97, 1.0]))
+    m = m.at[0, 2].set(2.3).at[1, 2].set(-1.7)
+    np.testing.assert_allclose(
+        np.asarray(_shear_matmul_warp(img, m)),
+        np.asarray(_bilinear_warp_taps(img, m)),
+        atol=2e-5,
+    )
+
+    # rotation + shear + translate: close on smooth content
+    th = 0.5
+    rot = (
+        jnp.eye(3)
+        .at[0, 0].set(jnp.cos(th)).at[0, 1].set(-jnp.sin(th))
+        .at[1, 0].set(jnp.sin(th)).at[1, 1].set(jnp.cos(th))
+        .at[0, 2].set(2.0).at[1, 2].set(-1.0)
+    )
+    minv = jnp.linalg.inv(rot)
+    ref = np.asarray(_bilinear_warp_taps(img, minv))
+    got = np.asarray(_shear_matmul_warp(img, minv))
+    assert np.abs(got - ref).mean() < 0.015
+    # interior pixels (both nonzero) agree much tighter
+    inside = (ref > 0).all(-1) & (got > 0).all(-1)
+    assert np.abs(got[inside] - ref[inside]).mean() < 0.01
+    assert np.any(got == 0.0)  # zeros outside persist through 3 passes
 
 
 def test_augment_bf16_toggle(monkeypatch):
