@@ -42,6 +42,13 @@ run detprofile 3600 python benchmarks/detector_profile.py
 # suspect for most of the detector step; the winner becomes the default)
 run warpbench 1800 python benchmarks/warp_bench.py
 
+# 3c. [#3] full detector step under the two candidate warps — the
+# direct img/s comparison against stage 3's "taps" baseline
+run detprofile_shear 3600 env ARSVT_WARP_VARIANT=shear_matmul \
+    python benchmarks/detector_profile.py
+run detprofile_patch 3600 env ARSVT_WARP_VARIANT=patch \
+    python benchmarks/detector_profile.py
+
 # 4. [#1] full suite on TPU
 run suite 5400 python -m pytest tests/ -q
 
