@@ -41,6 +41,9 @@ run detprofile 3600 python benchmarks/detector_profile.py
 # 3b. [#3] affine-warp gather strategy A/B (augmentation is the prime
 # suspect for most of the detector step; the winner becomes the default)
 run warpbench 1800 python benchmarks/warp_bench.py
+# 384 canvas: the ViT-L/384 RandAugment preset pays the same warp (its
+# rotate branch executes for every image under vmapped lax.switch)
+run warpbench384 1800 python benchmarks/warp_bench.py --size 384
 
 # 3c. [#3] full detector step under the two candidate warps — the
 # direct img/s comparison against stage 3's "taps" baseline
