@@ -534,24 +534,47 @@ def _lanczos4_warp(image, inv_matrix):
 _WARPS = {"bilinear": _bilinear_warp, "lanczos4": _lanczos4_warp}
 
 
-def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px):
-    """Forward-transform normalized boxes; AABB, clip, update validity."""
+def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px,
+                     method: str = "largest_box"):
+    """Forward-transform normalized boxes; AABB, clip, update validity.
+
+    method "largest_box": AABB of the 4 transformed corners.
+    method "ellipse" (the reference's rotate_method, train.py:422): AABB
+    of the transformed INSCRIBED ellipse — for a linear map A the
+    transformed ellipse's half-extents are hx = √((A00·a)² + (A01·b)²),
+    hy = √((A10·a)² + (A11·b)²) (the analytic limit of albumentations'
+    360-point boundary sampling); tighter than the corner AABB under
+    rotation."""
     px = boxes * jnp.array([w, h, w, h], boxes.dtype)
     x1, y1, x2, y2 = px[:, 0], px[:, 1], px[:, 2], px[:, 3]
-    corners = jnp.stack(
-        [
-            jnp.stack([x1, y1], -1), jnp.stack([x2, y1], -1),
-            jnp.stack([x1, y2], -1), jnp.stack([x2, y2], -1),
-        ],
-        axis=1,
-    )  # (M, 4, 2)
-    ones = jnp.ones(corners.shape[:2] + (1,), corners.dtype)
-    hom = jnp.concatenate([corners, ones], axis=-1)  # (M,4,3)
-    new = jnp.einsum("ij,mkj->mki", fwd, hom)[..., :2]
-    nx1 = jnp.min(new[..., 0], axis=1)
-    ny1 = jnp.min(new[..., 1], axis=1)
-    nx2 = jnp.max(new[..., 0], axis=1)
-    ny2 = jnp.max(new[..., 1], axis=1)
+    if method == "ellipse":
+        a = (x2 - x1) / 2.0
+        b = (y2 - y1) / 2.0
+        cx = (x1 + x2) / 2.0
+        cy = (y1 + y2) / 2.0
+        ncx = fwd[0, 0] * cx + fwd[0, 1] * cy + fwd[0, 2]
+        ncy = fwd[1, 0] * cx + fwd[1, 1] * cy + fwd[1, 2]
+        hx = jnp.sqrt((fwd[0, 0] * a) ** 2 + (fwd[0, 1] * b) ** 2)
+        hy = jnp.sqrt((fwd[1, 0] * a) ** 2 + (fwd[1, 1] * b) ** 2)
+        nx1, nx2 = ncx - hx, ncx + hx
+        ny1, ny2 = ncy - hy, ncy + hy
+    elif method == "largest_box":
+        corners = jnp.stack(
+            [
+                jnp.stack([x1, y1], -1), jnp.stack([x2, y1], -1),
+                jnp.stack([x1, y2], -1), jnp.stack([x2, y2], -1),
+            ],
+            axis=1,
+        )  # (M, 4, 2)
+        ones = jnp.ones(corners.shape[:2] + (1,), corners.dtype)
+        hom = jnp.concatenate([corners, ones], axis=-1)  # (M,4,3)
+        new = jnp.einsum("ij,mkj->mki", fwd, hom)[..., :2]
+        nx1 = jnp.min(new[..., 0], axis=1)
+        ny1 = jnp.min(new[..., 1], axis=1)
+        nx2 = jnp.max(new[..., 0], axis=1)
+        ny2 = jnp.max(new[..., 1], axis=1)
+    else:
+        raise ValueError(f"unknown box method {method!r}")
     full_area = jnp.maximum(nx2 - nx1, 0) * jnp.maximum(ny2 - ny1, 0)
     cx1, cy1 = jnp.clip(nx1, 0, w), jnp.clip(ny1, 0, h)
     cx2, cy2 = jnp.clip(nx2, 0, w), jnp.clip(ny2, 0, h)
@@ -569,7 +592,8 @@ def _transform_boxes(boxes, mask, fwd, h, w, *, min_visibility, min_area_px):
 def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
                   scale=(0.95, 1.05), translate=0.05, shear=15.0,
                   min_visibility=0.1, min_area_px=1.0,
-                  interpolation: str = "bilinear"):
+                  interpolation: str = "bilinear", p: float = 1.0,
+                  box_method: str = "largest_box"):
     """Affine with bbox tracking (train.py:404-431 semantics).
 
     interpolation: "bilinear" (default; 4 gathers) or "lanczos4" — the
@@ -578,18 +602,30 @@ def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
     gathers: 1353 vs 89 ms per bs32×256² batch — a measured 10x detector
     train-step regression), so exact-parity callers opt in per run.
     DOCUMENTED DEVIATION: at the reference's mild affine magnitudes
-    (scale 0.95-1.05) the resampler difference is statistically minor."""
+    (scale 0.95-1.05) the resampler difference is statistically minor.
+
+    p: apply probability — the reference's A.Affine has NO explicit p,
+    so albumentations' default 0.5 applies (half the images unwarped).
+    box_method: "largest_box" (corner AABB) or "ellipse" (the
+    reference's rotate_method, train.py:422; see _transform_boxes)."""
     h, w, _ = image.shape
-    fwd = _affine_matrix(key, h, w, degrees=degrees, scale=scale,
+    kp, km = jax.random.split(key)
+    fwd = _affine_matrix(km, h, w, degrees=degrees, scale=scale,
                          translate=translate, shear=shear)
+    apply = (jnp.asarray(True) if p >= 1.0
+             else jax.random.bernoulli(kp, p))
     inv = jnp.linalg.inv(fwd)
     out = _WARPS[interpolation](image, inv)
+    out = jnp.where(apply, out, image.astype(out.dtype))
     if boxes is None:
         return out
     new_boxes, new_mask = _transform_boxes(
         boxes, mask, fwd, h, w,
         min_visibility=min_visibility, min_area_px=min_area_px,
+        method=box_method,
     )
+    new_boxes = jnp.where(apply, new_boxes, boxes)
+    new_mask = jnp.where(apply, new_mask, mask)
     return out, new_boxes, new_mask
 
 
@@ -638,10 +674,17 @@ class DetectionAugmentConfig:
     shadow_roi: tuple = (0.0, 0.7, 1.0, 1.0)
     # HorizontalFlip / Affine (train.py:402,412-426)
     flip_p: float = 0.5
+    # the reference's A.Affine carries NO explicit p → albumentations'
+    # default 0.5: HALF the training images are never warped
+    affine_p: float = 0.5
     degrees: float = 45.0
     scale: tuple = (0.95, 1.05)
     translate: float = 0.05
     shear: float = 15.0
+    # rotate_method="ellipse" (train.py:422): rotated boxes take the
+    # AABB of the transformed INSCRIBED ELLIPSE (tighter) instead of the
+    # transformed corners' AABB ("largest_box")
+    box_rotate_method: str = "ellipse"
     # ColorJitter (train.py:427-433)
     jitter_p: float = 0.6
     jitter_brightness: float = 0.1
@@ -676,7 +719,8 @@ def detection_train_augment(key, image, boxes, mask,
         k3, image, boxes, mask, degrees=cfg.degrees, scale=cfg.scale,
         translate=cfg.translate, shear=cfg.shear,
         min_visibility=cfg.min_visibility, min_area_px=cfg.min_area_px,
-        interpolation=cfg.interpolation,
+        interpolation=cfg.interpolation, p=cfg.affine_p,
+        box_method=cfg.box_rotate_method,
     )
     image = color_jitter(
         k4, image, p=cfg.jitter_p, brightness=cfg.jitter_brightness,

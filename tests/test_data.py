@@ -194,6 +194,60 @@ def test_shear_matmul_warp_close_to_bilinear():
     assert np.any(got == 0.0)  # zeros outside persist through 3 passes
 
 
+def test_affine_p_and_ellipse_box_method():
+    """Affine.p: with p=0 nothing changes (image, boxes, mask pass
+    through); with the default p=0.5, roughly half of many draws apply.
+    Ellipse box method: under pure rotation the transformed box is
+    strictly TIGHTER than the corner-AABB method (the reference's
+    rotate_method='ellipse', train.py:422)."""
+    img = jax.random.uniform(jax.random.PRNGKey(8), (32, 32, 3))
+    boxes = jnp.array([[0.2, 0.3, 0.7, 0.6]])
+    mask = jnp.array([True])
+
+    out, nb, nm = random_affine(
+        jax.random.PRNGKey(0), img, boxes, mask, p=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(nb), np.asarray(boxes))
+    assert bool(nm[0])
+
+    applied = 0
+    for seed in range(40):
+        out, _, _ = random_affine(
+            jax.random.PRNGKey(seed), img, boxes, mask, p=0.5
+        )
+        applied += int(not np.array_equal(np.asarray(out),
+                                          np.asarray(img)))
+    assert 8 <= applied <= 32  # ~half, loose binomial bounds
+
+    # pure 30° rotation about the center: ellipse AABB ⊂ corner AABB
+    from arsvt_tpu.data.augment import _transform_boxes
+
+    th = jnp.deg2rad(30.0)
+    rot = (
+        jnp.eye(3)
+        .at[0, 0].set(jnp.cos(th)).at[0, 1].set(-jnp.sin(th))
+        .at[1, 0].set(jnp.sin(th)).at[1, 1].set(jnp.cos(th))
+    )
+    center = jnp.eye(3).at[0, 2].set(16.0).at[1, 2].set(16.0)
+    unc = jnp.eye(3).at[0, 2].set(-16.0).at[1, 2].set(-16.0)
+    fwd = center @ rot @ unc
+    big, _ = _transform_boxes(boxes, mask, fwd, 32, 32,
+                              min_visibility=0.1, min_area_px=1.0,
+                              method="largest_box")
+    tight, _ = _transform_boxes(boxes, mask, fwd, 32, 32,
+                                min_visibility=0.1, min_area_px=1.0,
+                                method="ellipse")
+    def area(b):
+        return float((b[0, 2] - b[0, 0]) * (b[0, 3] - b[0, 1]))
+    assert area(tight) < area(big)
+    # both centered identically (rotation about box... same center map)
+    np.testing.assert_allclose(
+        np.asarray(tight[0, :2] + tight[0, 2:]),
+        np.asarray(big[0, :2] + big[0, 2:]), atol=1e-5,
+    )
+
+
 def test_augment_bf16_toggle(monkeypatch):
     """ARSVT_AUGMENT_BF16=1 runs the warp in bf16 (half the gather
     traffic): output dtype flips and pixels stay within bf16 quantization
@@ -270,10 +324,13 @@ def test_detection_augment_reference_parity_table():
         (cfg.shadow_intensity, (0.2, 0.7),
          "RandomShadow.shadow_intensity_range"),
         (cfg.flip_p, 0.5, "HorizontalFlip.p"),
+        (cfg.affine_p, 0.5,
+         "Affine.p (unset in train.py → albumentations default 0.5)"),
         (cfg.scale, (0.95, 1.05), "Affine.scale"),
         (cfg.translate, 0.05, "Affine.translate_percent"),
         (cfg.degrees, 45.0, "Affine.rotate"),
         (cfg.shear, 15.0, "Affine.shear"),
+        (cfg.box_rotate_method, "ellipse", "Affine.rotate_method"),
         (cfg.jitter_brightness, 0.1, "ColorJitter.brightness"),
         (cfg.jitter_contrast, 0.15, "ColorJitter.contrast"),
         (cfg.jitter_saturation, 0.2, "ColorJitter.saturation"),
