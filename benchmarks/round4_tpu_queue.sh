@@ -10,6 +10,11 @@
 # contaminate). Total budget ~7-8 h of chip time; stages are ordered so
 # an early tunnel drop still leaves the headline validated.
 set -u
+# self-contained env: non-interactive shells don't get the venv python
+# or the axon plugin path from the profile
+export PATH=/opt/venv/bin:$PATH
+export PYTHONPATH=/root/.axon_site
+export JAX_PLATFORMS=axon
 cd "$(dirname "$0")/.."
 mkdir -p benchmarks/logs
 
