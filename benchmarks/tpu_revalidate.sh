@@ -12,6 +12,11 @@
 # Never run anything else on the chip concurrently: the tunnel multiplexes
 # and timed numbers contaminate.
 set -u
+# self-contained env (non-interactive shells lack the venv python and
+# axon plugin path)
+export PATH=/opt/venv/bin:$PATH
+export PYTHONPATH=/root/.axon_site
+export JAX_PLATFORMS=axon
 cd "$(dirname "$0")/.."
 
 echo "=== probe: backend init ==="
