@@ -63,7 +63,6 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     args = ap.parse_args()
 
-    from arsvt_tpu.data import augment
     from arsvt_tpu.data.augment import (
         _BILINEAR_VARIANTS,
         _affine_matrix,
