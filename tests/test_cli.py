@@ -67,6 +67,44 @@ def test_train_then_eval_cli_classification(coco_root, tmp_path, monkeypatch):
     assert "accuracy" in results and "confusion" in results
 
 
+def test_train_then_eval_cli_folder_dataset(tmp_path, monkeypatch):
+    """The TrashNet folder-per-class layout drives BOTH CLIs end-to-end:
+    an unsplit root (class dirs of JPEGs, no COCO JSON) trains via the
+    stable hash split and evaluates with --split valid."""
+    import numpy as np
+    from PIL import Image
+
+    from arsvt_tpu.data.taxonomy import RECYCLING_CLASSES
+    from arsvt_tpu.evaluation import cli as eval_cli
+    from arsvt_tpu.train import cli as train_cli
+
+    root = tmp_path / "trashnet"
+    rng = np.random.default_rng(0)
+    for cls in RECYCLING_CLASSES:
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3), np.uint8)
+            ).save(str(d / f"{cls}{i}.jpg"), quality=90)
+
+    monkeypatch.chdir(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpt_folder")
+    train_cli.main([
+        "--train-preset", "smoke", "--data-dir", str(root),
+        "--batch-size", "8", "--total-steps", "3",
+        "--checkpoint-every", "3", "--log-every", "2", "--canvas", "32",
+        "--image-size", "32", "--augment", "crop_flip",
+        "--checkpoint-dir", ckpt_dir, "--bf16", "false",
+    ])
+    results = eval_cli.main([
+        "--checkpoint-dir", ckpt_dir, "--data-dir", str(root),
+        "--split", "valid", "--batch-size", "8",
+        "--out", str(tmp_path / "res_folder.json"),
+    ])
+    assert "accuracy" in results and "confusion" in results
+
+
 def test_cli_rejects_unknown_preset():
     from arsvt_tpu.train import cli
 
