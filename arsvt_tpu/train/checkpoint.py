@@ -195,11 +195,21 @@ def load_params_for_eval(directory: str, cfg: TrainConfig, params_like,
                 "checkpoint was trained with a different model config "
                 f"({mismatches})"
             )
+        # PyTreeRestore does NOT lift shardings off the item template's
+        # leaves — without explicit restore_args it falls back to the
+        # sharding file saved with the checkpoint, whose devices need not
+        # exist on the restoring host (a ckpt saved on an 8-device mesh
+        # must load on a 1-chip serving box). Build concrete per-leaf
+        # restore args from params_like so deserialization always lands
+        # on THIS host's devices.
+        item = {"params": params_like}
+        restore_args = ocp.checkpoint_utils.construct_restore_args(item)
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.PyTreeRestore(
-                    item={"params": params_like}, partial_restore=True
+                    item=item, restore_args=restore_args,
+                    partial_restore=True,
                 )
             ),
         )
