@@ -476,8 +476,13 @@ _BILINEAR_VARIANTS = {
     "shear_matmul": _shear_matmul_warp,
 }
 
+# Promotion of "shear_matmul" as default is gated on the detection
+# convergence A/B (taps vs shear_matmul mAP parity) — see PERFORMANCE.md
+# round-5 section; until that gate passes the exact-gather "taps" stays.
+_WARP_DEFAULT = "taps"
 
-def _bilinear_warp(image, inv_matrix):
+
+def _bilinear_warp(image, inv_matrix, variant: str | None = None):
     """Sample image at inv_matrix @ output coords; zeros outside.
 
     Gathers are the TPU weak spot and this op is the augmentation
@@ -486,9 +491,12 @@ def _bilinear_warp(image, inv_matrix):
     variants (taps/flat/patch) compute tap-for-tap identical results
     (parity-pinned in tests/test_data.py); "shear_matmul" is the
     gather-FREE three-pass MXU formulation (approximate resampler, see
-    its section comment). ARSVT_WARP_VARIANT selects one;
-    benchmarks/warp_bench.py measures them on the chip."""
-    name = os.environ.get("ARSVT_WARP_VARIANT", "taps")
+    its section comment; mAP-parity-gated in recipe/convergence A/B).
+    `variant` selects one explicitly — pipeline configs carry it so it
+    is part of the jit trace key (an env var read inside an inner jit
+    is invisible to its cache, the round-4 warpbench artifact's bug);
+    None falls back to ARSVT_WARP_VARIANT."""
+    name = variant or os.environ.get("ARSVT_WARP_VARIANT", _WARP_DEFAULT)
     # anchor the opt-in bf16 policy HERE: upstream photometric stages can
     # re-promote to f32 (f32 random factors), and the warp's gathers are
     # the traffic that halving actually pays for
@@ -593,7 +601,8 @@ def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
                   scale=(0.95, 1.05), translate=0.05, shear=15.0,
                   min_visibility=0.1, min_area_px=1.0,
                   interpolation: str = "bilinear", p: float = 1.0,
-                  box_method: str = "largest_box"):
+                  box_method: str = "largest_box",
+                  warp_variant: str | None = None):
     """Affine with bbox tracking (train.py:404-431 semantics).
 
     interpolation: "bilinear" (default; 4 gathers) or "lanczos4" — the
@@ -615,7 +624,10 @@ def random_affine(key, image, boxes=None, mask=None, *, degrees=45.0,
     apply = (jnp.asarray(True) if p >= 1.0
              else jax.random.bernoulli(kp, p))
     inv = jnp.linalg.inv(fwd)
-    out = _WARPS[interpolation](image, inv)
+    if interpolation == "bilinear":
+        out = _bilinear_warp(image, inv, variant=warp_variant)
+    else:
+        out = _WARPS[interpolation](image, inv)
     out = jnp.where(apply, out, image.astype(out.dtype))
     if boxes is None:
         return out
@@ -703,6 +715,10 @@ class DetectionAugmentConfig:
     # implemented ("lanczos4") and oracle-tested, but costs 15x on TPU
     # (gather-bound); see random_affine's docstring for the measurements.
     interpolation: str = "bilinear"
+    # bilinear warp strategy ("" = ARSVT_WARP_VARIANT / module default).
+    # Carried here so it keys the jit trace — benchmarks and A/B runs can
+    # switch variants in-process (see _bilinear_warp's docstring).
+    warp_variant: str = ""
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -721,6 +737,7 @@ def detection_train_augment(key, image, boxes, mask,
         min_visibility=cfg.min_visibility, min_area_px=cfg.min_area_px,
         interpolation=cfg.interpolation, p=cfg.affine_p,
         box_method=cfg.box_rotate_method,
+        warp_variant=cfg.warp_variant or None,
     )
     image = color_jitter(
         k4, image, p=cfg.jitter_p, brightness=cfg.jitter_brightness,
@@ -745,6 +762,9 @@ class ClassifyAugmentConfig:
     jitter_p: float = 0.0
     rand_augment: bool = False
     rand_augment_magnitude: float = 0.5
+    # bilinear warp strategy for RandAugment's rotate (see
+    # DetectionAugmentConfig.warp_variant)
+    warp_variant: str = ""
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -759,7 +779,8 @@ def classification_train_augment(key, image,
     if cfg.jitter_p > 0:
         image = color_jitter(k3, image, p=cfg.jitter_p)
     if cfg.rand_augment:
-        image = rand_augment(k4, image, magnitude=cfg.rand_augment_magnitude)
+        image = rand_augment(k4, image, magnitude=cfg.rand_augment_magnitude,
+                             warp_variant=cfg.warp_variant or None)
     return normalize(image)
 
 
@@ -774,7 +795,7 @@ def eval_preprocess(image, size: int = 224):
 # ------------------------------------------------------------ randaugment
 
 
-def _ra_rotate(key, image, m):
+def _ra_rotate(key, image, m, variant: str | None = None):
     deg = (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 30.0 * m
     h, w, _ = image.shape
     theta = jnp.deg2rad(deg)
@@ -784,7 +805,7 @@ def _ra_rotate(key, image, m):
     center = jnp.eye(3).at[0, 2].set(w / 2.0).at[1, 2].set(h / 2.0)
     uncenter = jnp.eye(3).at[0, 2].set(-w / 2.0).at[1, 2].set(-h / 2.0)
     fwd = center @ rot @ uncenter
-    return _bilinear_warp(image, jnp.linalg.inv(fwd))
+    return _bilinear_warp(image, jnp.linalg.inv(fwd), variant=variant)
 
 
 def _ra_posterize(key, image, m):
@@ -821,14 +842,19 @@ _RA_OPS = (_ra_rotate, _ra_posterize, _ra_solarize, _ra_brightness,
            _ra_contrast, _ra_color, _ra_identity)
 
 
-def rand_augment(key, image, *, num_ops: int = 2, magnitude: float = 0.5):
+def rand_augment(key, image, *, num_ops: int = 2, magnitude: float = 0.5,
+                 warp_variant: str | None = None):
     """RandAugment: `num_ops` randomly chosen ops at shared magnitude."""
+    ops = tuple(
+        partial(_ra_rotate, variant=warp_variant) if op is _ra_rotate else op
+        for op in _RA_OPS
+    )
     for _ in range(num_ops):
         key, kop, kparam = jax.random.split(key, 3)
-        idx = jax.random.randint(kop, (), 0, len(_RA_OPS))
+        idx = jax.random.randint(kop, (), 0, len(ops))
         branches = [
             (lambda img, op=op, kp=kparam: op(kp, img, magnitude))
-            for op in _RA_OPS
+            for op in ops
         ]
         image = jax.lax.switch(idx, branches, image)
     return image

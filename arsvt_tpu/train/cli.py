@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument(flag, type=_parse_bool, default=None)
         elif isinstance(f.default, int):
             p.add_argument(flag, type=int, default=None)
-        elif isinstance(f.default, float):
+        elif isinstance(f.default, float) or "float" in str(f.type):
             p.add_argument(flag, type=float, default=None)
         else:
             p.add_argument(flag, type=str, default=None)

@@ -31,6 +31,11 @@ class TrainConfig:
     image_size: int = 0                      # 0 = preset default
     canvas: int = 256                        # host letterbox size (static shape)
     augment: str = "none"                    # "none"|"crop_flip"|"randaugment"|"detection"
+    # bilinear affine-warp strategy for the on-device augmentation
+    # ("" = data/augment.py module default; "taps"|"flat"|"patch"|
+    # "shear_matmul" — see _bilinear_warp). Part of the jitted step's
+    # static config so A/B runs switch it in-process.
+    warp_variant: str = ""
     # optimization (reference: AdamW 1e-4 / wd 1e-4, train.py:1358-1360)
     learning_rate: float = 1e-4
     weight_decay: float = 1e-4
@@ -49,7 +54,10 @@ class TrainConfig:
     # regularisation
     label_smoothing: float = 0.0
     mixup_alpha: float = 0.0                 # 0 = off
-    attn_dropout: float = 0.0                # attention-prob dropout (train.py:528,545)
+    # attention-prob dropout (train.py:528,545). None = inherit the model
+    # preset's value; 0.0 = explicitly OFF (overrides a preset's 0.1 — the
+    # round-4 ablation harness needs this distinction)
+    attn_dropout: float | None = None
     ln_eps: float = 0.0                      # 0 = preset default (torch's 1e-5);
                                              # imported checkpoints carry their
                                              # source's (timm 1e-6, HF 1e-12)
@@ -108,7 +116,7 @@ def resolve_backbone(cfg: TrainConfig) -> BackboneConfig:
     bb = get_preset(cfg.preset)
     if cfg.image_size and cfg.image_size != bb.image_size:
         bb = dataclasses.replace(bb, image_size=cfg.image_size)
-    if cfg.attn_dropout and cfg.attn_dropout != bb.attn_dropout:
+    if cfg.attn_dropout is not None and cfg.attn_dropout != bb.attn_dropout:
         bb = dataclasses.replace(bb, attn_dropout=cfg.attn_dropout)
     if cfg.ln_eps and cfg.ln_eps != bb.ln_eps:
         bb = dataclasses.replace(bb, ln_eps=cfg.ln_eps)
@@ -130,7 +138,7 @@ def resolve_detector(cfg: TrainConfig) -> DetectorConfig:
             det,
             head=dataclasses.replace(det.head, num_classes=cfg.num_classes),
         )
-    if cfg.attn_dropout:
+    if cfg.attn_dropout is not None:
         det = dataclasses.replace(
             det,
             backbone=dataclasses.replace(

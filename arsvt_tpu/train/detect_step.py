@@ -64,7 +64,8 @@ def make_detector_step_fns(cfg: TrainConfig, mesh=None):
         )
 
         aug_cfg = DetectionAugmentConfig(
-            image_size=det_cfg.backbone.image_size
+            image_size=det_cfg.backbone.image_size,
+            warp_variant=cfg.warp_variant,
         )
 
         def augment_batch(rng, images, boxes, mask):

@@ -89,6 +89,7 @@ def make_classifier_step_fns(cfg: TrainConfig, mesh=None):
         aug_cfg = ClassifyAugmentConfig(
             image_size=backbone_cfg.image_size,
             rand_augment=cfg.augment == "randaugment",
+            warp_variant=cfg.warp_variant,
         )
 
         def augment_batch(rng, images):

@@ -108,6 +108,10 @@ def _run(tmp):
         schedule="cosine",
         bf16=True, max_objects=MAX_OBJECTS, aux_loss=True,
         w_triplet=0.0, grad_clip_norm=0.1,
+        # DEMO_WARP: bilinear-warp variant for the A/B convergence gate
+        # (taps = exact 4-gather, shear_matmul = approximate gather-free
+        # MXU resampler). "" = module default.
+        warp_variant=os.environ.get("DEMO_WARP", ""),
     )
     init_fn, train_step, eval_step = make_detector_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
@@ -157,6 +161,7 @@ def _run(tmp):
             "preset": cfg.preset, "steps": STEPS, "batch_size": BS,
             "train_images": int(n), "val_images": int(va_images.shape[0]),
             "augment": cfg.augment, "aux_loss": cfg.aux_loss,
+            "warp_variant": cfg.warp_variant or "default",
         },
         "final_train_metrics": {
             k: round(float(v), 4) for k, v in m.items()
@@ -166,8 +171,10 @@ def _run(tmp):
         "train_split": {k: v for k, v in train_result.items()
                         if k in ("mAP", "AP50", "AP75")},
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "detection_generalization.json")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("DEMO_OUT", "detection_generalization.json"),
+    )
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"val_mAP": result["mAP"], "val_AP50": result["AP50"],

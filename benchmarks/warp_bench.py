@@ -105,19 +105,25 @@ def main():
     # normalize) per variant — what the detector step actually pays
     boxes = jnp.tile(jnp.asarray([[0.2, 0.2, 0.6, 0.6]]), (b, 4, 1))
     mask = jnp.ones((b, 4), bool)
-    cfg = DetectionAugmentConfig(image_size=s)
 
-    def aug_batch(keys, imgs, boxes, mask):
-        return jax.vmap(
-            lambda k, im, bx, ms_: detection_train_augment(k, im, bx, ms_, cfg)
-        )(keys, imgs, boxes, mask)
+    # The variant must ride the STATIC config, not an env var: the round-4
+    # artifact set ARSVT_WARP_VARIANT around a module-level-jitted
+    # detection_train_augment whose trace cache is keyed on (shapes, cfg)
+    # only, so all four rows re-served the first variant's compiled code
+    # (warpbench.log: ~56 ms for every variant while the in-step profile
+    # showed a 48 ms swing). warp_variant is a cfg field now.
+    def aug_batch_for(cfg):
+        def aug_batch(keys, imgs, boxes, mask):
+            return jax.vmap(
+                lambda k, im, bx, ms_: detection_train_augment(
+                    k, im, bx, ms_, cfg)
+            )(keys, imgs, boxes, mask)
+
+        return aug_batch
 
     for name in _BILINEAR_VARIANTS:
-        os.environ["ARSVT_WARP_VARIANT"] = name
-        try:
-            ms = timeit(jax.jit(aug_batch), keys, imgs, boxes, mask)
-        finally:
-            del os.environ["ARSVT_WARP_VARIANT"]
+        vcfg = DetectionAugmentConfig(image_size=s, warp_variant=name)
+        ms = timeit(jax.jit(aug_batch_for(vcfg)), keys, imgs, boxes, mask)
         result[f"full_augment_{name}_ms"] = round(ms, 2)
         log(f"full detection augment [{name:6s}]: {ms:8.2f} ms / batch")
 

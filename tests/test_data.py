@@ -198,6 +198,43 @@ def test_shear_matmul_warp_close_to_bilinear():
     assert np.any(got == 0.0)  # zeros outside persist through 3 passes
 
 
+def test_warp_variant_keys_the_jit_trace():
+    """Regression for the round-4 warpbench artifact bug: selecting the
+    warp variant via ARSVT_WARP_VARIANT around the module-level-jitted
+    detection_train_augment re-served the first variant's compiled code
+    (env reads are invisible to the trace cache), so all four 'variants'
+    timed identically. The variant now rides the STATIC config
+    (DetectionAugmentConfig.warp_variant) — prove that switching it
+    in-process actually switches the compiled warp: shear_matmul (an
+    approximate resampler) must differ from taps under a rotation, while
+    flat must stay bit-identical to taps through the same plumbing."""
+    from arsvt_tpu.data.augment import (
+        DetectionAugmentConfig,
+        detection_train_augment,
+    )
+
+    key = jax.random.PRNGKey(11)
+    small = jax.random.uniform(jax.random.PRNGKey(5), (6, 6, 3))
+    img = jax.image.resize(small, (32, 32, 3), "linear")
+    boxes = jnp.array([[0.2, 0.3, 0.7, 0.6]])
+    mask = jnp.array([True])
+
+    def run(variant):
+        cfg = DetectionAugmentConfig(
+            image_size=32, warp_variant=variant,
+            # isolate the affine warp: every other stochastic stage off,
+            # warp guaranteed on
+            affine_p=1.0, shadow_p=0.0, flip_p=0.0, jitter_p=0.0,
+            dropout_p=0.0,
+        )
+        out, _, _ = detection_train_augment(key, img, boxes, mask, cfg)
+        return np.asarray(out)
+
+    taps, flat, shear = run("taps"), run("flat"), run("shear_matmul")
+    np.testing.assert_array_equal(flat, taps)
+    assert np.abs(shear - taps).max() > 1e-4
+
+
 def test_affine_p_and_ellipse_box_method():
     """Affine.p: with p=0 nothing changes (image, boxes, mask pass
     through); with the default p=0.5, roughly half of many draws apply.
