@@ -97,17 +97,24 @@ def evaluate_classifier(
 
 def _load_letterboxed_single(path: str, size: int) -> np.ndarray:
     """Decode one image + letterbox to (size, size, 3): native C++ core
-    when built, PIL fallback otherwise. Shared by both streaming paths."""
+    when built, PIL fallback otherwise. Shared by both streaming paths.
+
+    Returns RAW uint8 — the jitted forwards rescale on device
+    (to_unit_float), and shipping bytes instead of fp32 is 4x less H2D,
+    which through the serving tunnel is most of the single-image p50
+    (BENCH_r04: 43.9 ms of a 72.7 ms p50 was the fp32 frame's H2D)."""
     from arsvt_tpu.data import native_loader
 
     if native_loader.available():
-        images, meta = native_loader.load_letterboxed_batch([path], size)
+        images, meta = native_loader.load_letterboxed_batch(
+            [path], size, dtype=np.uint8
+        )
         if meta[0, 3] == 0.0:
             raise ValueError(f"undecodable image: {path}")
         return images[0]
-    from arsvt_tpu.data.pipeline import letterbox, load_image
+    from arsvt_tpu.data.pipeline import letterbox_u8, load_image_u8
 
-    image, _ = letterbox(load_image(path), size)
+    image, _ = letterbox_u8(load_image_u8(path), size)
     return image
 
 
@@ -173,11 +180,16 @@ class StreamingClassifier(LatencyWindow):
         self._infer = infer
         self._infer_batched = infer_batched
         self._params = params
-        # warm up compile so first real frame is not a 20s outlier
-        dummy = jnp.zeros(
-            (backbone_cfg.image_size, backbone_cfg.image_size, 3), jnp.float32
+        # warm up compile so first real frame is not a 20s outlier —
+        # BOTH input dtypes (they key separate traces): classify_path
+        # ships raw uint8 frames, external callers may pass [0,1] fp32
+        s = backbone_cfg.image_size
+        jax.block_until_ready(
+            self._infer(params, jnp.zeros((s, s, 3), jnp.float32))
         )
-        jax.block_until_ready(self._infer(params, dummy))
+        jax.block_until_ready(
+            self._infer(params, jnp.zeros((s, s, 3), jnp.uint8))
+        )
 
     def __call__(self, image) -> tuple[int, str, np.ndarray]:
         t0 = time.perf_counter()
@@ -189,7 +201,12 @@ class StreamingClassifier(LatencyWindow):
             check_unit_range_images(
                 image, "StreamingClassifier(normalize_inputs=True)"
             )
-        idx, probs = self._infer(self._params, jnp.asarray(image))
+        # ONE blocking fetch for both outputs: `int(idx)` then
+        # `np.asarray(probs)` would each pay a full tunnel round trip
+        # (BENCH_r04's 28.8 ms "device+dispatch" for a 0.3 ms forward)
+        idx, probs = jax.device_get(
+            self._infer(self._params, jnp.asarray(image))
+        )
         idx = int(idx)
         probs = np.asarray(probs)
         self._latencies.append(time.perf_counter() - t0)
@@ -209,7 +226,9 @@ class StreamingClassifier(LatencyWindow):
             check_unit_range_images(
                 images, "infer_batch(normalize_inputs=True)"
             )
-        idx, probs = self._infer_batched(self._params, jnp.asarray(images))
+        idx, probs = jax.device_get(
+            self._infer_batched(self._params, jnp.asarray(images))
+        )
         return np.asarray(idx), np.asarray(probs)
 
     def classify_path(self, path: str) -> tuple[int, str, np.ndarray]:
@@ -279,8 +298,12 @@ class StreamingDetector(LatencyWindow):
         self._infer = infer
         self._params = params
         self._size = size
+        # warm both input-dtype traces (detect_path ships raw uint8)
         jax.device_get(
             infer(params, jnp.zeros((size, size, 3), jnp.float32))["valid"]
+        )
+        jax.device_get(
+            infer(params, jnp.zeros((size, size, 3), jnp.uint8))["valid"]
         )
 
     @property
@@ -290,7 +313,9 @@ class StreamingDetector(LatencyWindow):
     def detect_path(self, path: str) -> dict:
         t0 = time.perf_counter()
         image = _load_letterboxed_single(path, self._size)
-        out = self._infer(self._params, jnp.asarray(image))
+        # one blocking fetch for the whole output dict (sequential
+        # np.asarray calls would pay a tunnel round trip per array)
+        out = jax.device_get(self._infer(self._params, jnp.asarray(image)))
         out = {k: np.asarray(v)[0] for k, v in out.items()}
         sel = out["valid"]
         result = {

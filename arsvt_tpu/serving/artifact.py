@@ -100,7 +100,9 @@ class ArtifactClassifier(_ArtifactEngine):
 
     def __call__(self, image):
         t0 = time.perf_counter()
-        idx, probs = self._call(self._to_input_batch(image))
+        # one blocking fetch for both outputs (per-array np.asarray would
+        # pay a tunnel round trip each — see StreamingClassifier.__call__)
+        idx, probs = jax.device_get(self._call(self._to_input_batch(image)))
         idx = int(np.asarray(idx)[0])
         probs = np.asarray(probs)[0]
         self._latencies.append(time.perf_counter() - t0)
@@ -123,7 +125,7 @@ class ArtifactDetector(_ArtifactEngine):
 
         t0 = time.perf_counter()
         image = _load_letterboxed_single(path, self.image_size)
-        out = self._call(self._to_input_batch(image))
+        out = jax.device_get(self._call(self._to_input_batch(image)))
         out = {k: np.asarray(v)[0] for k, v in out.items()}
         sel = out["valid"]
         result = {
