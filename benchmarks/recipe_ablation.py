@@ -93,6 +93,13 @@ ABLATIONS: dict[str, tuple[dict, str]] = {
         "2x batch: DETR's CE/box normalization is per-match, so small "
         "batches give high-variance matching gradients",
     ),
+    "bs64_lr3e4": (
+        {"batch_size": 64, "learning_rate": 3e-4, "schedule": "cosine"},
+        "the two strongest single deltas together (bs64 val mAP 0.0147, "
+        "lr3e4_cosine 0.0057 vs faithful 0.0040): per-match loss "
+        "normalization wants bigger batches AND the plateau schedule "
+        "never fires within the probe budget",
+    ),
     # escalation ladder
     "combo_stability": (
         {"grad_clip_norm": 0.1, "w_triplet": 0.0, "attn_dropout": 0.0},
