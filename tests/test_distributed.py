@@ -6,6 +6,7 @@ driver's dryrun_multichip entry.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -123,6 +124,36 @@ def test_restore_across_mesh_shapes(tmp_path):
         tr2.state, shard_batch(batch, tr2.mesh), tr2.base_rng
     )
     assert np.isfinite(float(m["loss"]))
+
+
+def test_eval_restore_from_mesh_checkpoint_on_single_device(tmp_path):
+    """A checkpoint saved from an 8-device DP mesh must restore through
+    the EVAL path (load_inference_bundle → load_params_for_eval) onto a
+    single local device — the serving-host scenario. Regression for the
+    round-4 red tests: orbax PyTreeRestore fell back to the sharding
+    file saved with the checkpoint (8 mesh devices that don't exist on
+    the restoring host / raise sharding=None); the fix hands it concrete
+    per-leaf restore args built from params_like
+    (train/checkpoint.py:load_params_for_eval)."""
+    from arsvt_tpu.serving.loading import load_inference_bundle
+    from arsvt_tpu.train.trainer import Trainer
+
+    cfg = TRAIN_PRESETS["smoke"].with_overrides(
+        total_steps=4, checkpoint_every=4, log_every=10**9,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    tr = Trainer(cfg, mesh=mesh_of(8, 1))
+    tr.fit(synthetic_classification_batches(
+        batch_size=cfg.batch_size, image_size=32, seed=0))
+
+    params, loaded_cfg = load_inference_bundle(cfg.checkpoint_dir)
+    assert loaded_cfg.preset == cfg.preset
+    # every leaf landed on ONE local device, not the training mesh
+    for leaf in jax.tree.leaves(params):
+        assert len(leaf.devices()) == 1
+    assert np.isfinite(
+        float(jnp.sum(jax.tree.leaves(params)[0].astype(jnp.float32)))
+    )
 
 
 def test_dryrun_multichip_entry_driver_conditions():
