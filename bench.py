@@ -251,8 +251,11 @@ def bench_streaming(state):
     clf = StreamingClassifier(
         state["params"], get_preset(HEADLINE_PRESET), 6
     )
-    img = np.random.default_rng(2).uniform(size=(224, 224, 3)).astype(
-        np.float32
+    # raw uint8 frame — what the sorter loop's decode hands the
+    # classifier (and 4x less H2D than the fp32 frame round 4 timed;
+    # the production single-image path ships bytes since round 5)
+    img = np.random.default_rng(2).integers(
+        0, 255, size=(224, 224, 3), dtype=np.uint8
     )
     for _ in range(50):
         clf(img)
