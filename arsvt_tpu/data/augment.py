@@ -476,10 +476,15 @@ _BILINEAR_VARIANTS = {
     "shear_matmul": _shear_matmul_warp,
 }
 
-# Promotion of "shear_matmul" as default is gated on the detection
-# convergence A/B (taps vs shear_matmul mAP parity) — see PERFORMANCE.md
-# round-5 section; until that gate passes the exact-gather "taps" stays.
-_WARP_DEFAULT = "taps"
+# "shear_matmul" (gather-free three-pass MXU warp) is the default: the
+# round-5 detection convergence A/B passed its mAP-parity gate
+# (detection_generalization_{taps,shear}.json — val mAP 0.587 vs 0.572,
+# AP50 0.947 vs 0.942 at 6k steps, within short-run noise) and it cuts
+# the warp stage 58.4 -> 9.2 ms and the full detection augment
+# 60.7 -> 39.4 ms per bs32x224 batch on chip (warpbench_r5). Set
+# ARSVT_WARP_VARIANT=taps (or warp_variant="taps" in the pipeline
+# config) to get the exact OpenCV-parity gather resampler back.
+_WARP_DEFAULT = "shear_matmul"
 
 
 def _bilinear_warp(image, inv_matrix, variant: str | None = None):
