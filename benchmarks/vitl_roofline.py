@@ -60,60 +60,85 @@ def sync(x):
     jax.device_get(jnp.sum(x) if hasattr(x, "dtype") else x)
 
 
-def time_matmul(a_shape, b_shape, batched=False):
-    """TFLOP/s of a bf16 matmul at the given shapes (batched: leading
-    batch dim on both operands)."""
-    ka, kb = jax.random.split(jax.random.PRNGKey(0))
-    a = jax.random.normal(ka, a_shape, jnp.bfloat16)
-    b = jax.random.normal(kb, b_shape, jnp.bfloat16)
-    if batched:
-        f = jax.jit(lambda a, b: jnp.einsum("bij,bjk->bik", a, b))
-        flops = 2 * a_shape[0] * a_shape[1] * a_shape[2] * b_shape[2]
-    else:
-        f = jax.jit(lambda a, b: a @ b)
-        flops = 2 * a_shape[0] * a_shape[1] * b_shape[1]
-    sync(f(a, b))
+def time_chain(step_fn, carry0, flops_per_iter, iters=40):
+    """TFLOP/s of a matmul pair chained through a lax.scan carry.
+
+    One jit dispatch for `iters` iterations: amortizes the axon tunnel's
+    per-call dispatch floor (~1.5 ms — the first version of this bench
+    timed single calls and read 22 TFLOP/s for an attn_out-shaped GEMM,
+    a dispatch artifact, not physics). The carry feeds each iteration so
+    XLA cannot hoist the loop-invariant matmuls."""
+    import jax.lax as lax
+
+    def body(carry, _):
+        return step_fn(carry), None
+
+    f = jax.jit(lambda c: lax.scan(body, c, None, length=iters)[0])
+    sync(f(carry0))
     t0 = time.perf_counter()
-    reps = 30
-    out = None
-    for _ in range(reps):
-        out = f(a, b)
+    out = f(carry0)
     sync(out)
-    dt = (time.perf_counter() - t0) / reps
-    return flops / dt / 1e12
+    dt = time.perf_counter() - t0
+    return flops_per_iter * iters / dt / 1e12
 
 
 def calibrate(bb):
-    """FLOP-weighted matmul ceiling for one fwd pass of the backbone."""
+    """FLOP-weighted matmul ceiling for one fwd pass of the backbone.
+
+    Each row times a round-trip PAIR of GEMMs (d->K then K->d) so the
+    carry keeps a fixed shape; the pair covers both contraction depths
+    the layer actually runs. The attention row is the real qkT+pv pair
+    at (S, head_dim) geometry."""
     s, d, mlp, h = bb.seq_len, bb.embed_dim, bb.mlp_dim, bb.num_heads
     dh = d // h
     rows = BS * s
-    shapes = {
-        # name: (a_shape, b_shape, batched, fwd FLOPs per image)
-        "qkv": ((rows, d), (d, 3 * d), False, 2 * s * d * 3 * d),
-        "attn_out": ((rows, d), (d, d), False, 2 * s * d * d),
-        "fc1": ((rows, d), (d, mlp), False, 2 * s * d * mlp),
-        "fc2": ((rows, mlp), (mlp, d), False, 2 * s * mlp * d),
-        "qkT": ((BS * h, s, dh), (BS * h, dh, s), True, 2 * s * s * d),
-        "pv": ((BS * h, s, s), (BS * h, s, dh), True, 2 * s * s * d),
-    }
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 8)
+
+    def dense_pair(name, width, f_img_pair):
+        w1 = jax.random.normal(ks[0], (d, width), jnp.bfloat16) * 0.02
+        w2 = jax.random.normal(ks[1], (width, d), jnp.bfloat16) * 0.02
+        x0 = jax.random.normal(ks[2], (rows, d), jnp.bfloat16)
+        flops_iter = 2 * rows * d * width * 2
+        r = time_chain(lambda x: (x @ w1) @ w2, x0, flops_iter)
+        return name, r, f_img_pair
+
+    def attn_pair():
+        q = jax.random.normal(ks[3], (BS * h, s, dh), jnp.bfloat16)
+        kv = jax.random.normal(ks[4], (BS * h, s, dh), jnp.bfloat16) * 0.02
+
+        def step(x):
+            scores = jnp.einsum("bij,bkj->bik", x, kv)
+            return jnp.einsum("bik,bkj->bij", scores, kv) * 0.02
+
+        flops_iter = 2 * BS * h * s * s * dh * 2
+        r = time_chain(step, q, flops_iter)
+        return "qkT+pv", r, 2 * s * s * d * 2
+
+    # weights = the REAL per-layer fwd matmul FLOPs each row's measured
+    # rate stands for (the chain's synthetic return leg is rate-only)
+    rows_out = [
+        dense_pair("qkv(d->3d)", 3 * d, 2 * s * d * 3 * d),
+        dense_pair("attn_out(d->d)", d, 2 * s * d * d),
+        dense_pair("fc1+fc2", mlp, 2 * s * d * mlp * 2),
+        attn_pair(),
+    ]
     total_f = 0.0
     total_t = 0.0
     per_shape = {}
-    for name, (a, b, batched, f_img) in shapes.items():
-        r = time_matmul(a, b, batched=batched)
+    for name, r, f_img in rows_out:
         per_shape[name] = round(r, 1)
         f = f_img * bb.depth
         total_f += f
         total_t += f / (r * 1e12)
-        log(f"  {name:9s} {a}x{b}: {r:6.1f} TFLOP/s")
+        log(f"  {name:20s}: {r:6.1f} TFLOP/s")
     ceiling = total_f / total_t / 1e12
     log(f"  FLOP-weighted fwd matmul ceiling: {ceiling:.1f} TFLOP/s")
     return ceiling, per_shape
 
 
 def build_step(warp_variant: str, augment: str):
-    from arsvt_tpu.train.config import TRAIN_PRESETS
+    from arsvt_tpu.train.config import TRAIN_PRESETS, input_canvas
     from arsvt_tpu.train.train_step import make_classifier_step_fns
 
     cfg = TRAIN_PRESETS["vit_large_384"].with_overrides(
@@ -122,10 +147,14 @@ def build_step(warp_variant: str, augment: str):
     )
     init_fn, train_step, _ = make_classifier_step_fns(cfg, mesh=None)
     state = init_fn(jax.random.PRNGKey(0))
+    # input_canvas: 416 letterbox for augmented configs (the step crops
+    # to 384 on device), the model's native 384 for augment="none" — the
+    # first run fed 416 to the bare model and hit the pos-embed guard
+    size = input_canvas(cfg)
     batch = {
         "image": jnp.asarray(
             np.random.default_rng(0).integers(
-                0, 255, size=(BS, cfg.canvas, cfg.canvas, 3), dtype=np.uint8
+                0, 255, size=(BS, size, size, 3), dtype=np.uint8
             )
         ),
         "label": jnp.asarray(
