@@ -235,6 +235,35 @@ def test_warp_variant_keys_the_jit_trace():
     assert np.abs(shear - taps).max() > 1e-4
 
 
+def test_default_warp_variant_is_shear_matmul(monkeypatch):
+    """Round-5 promotion pin: an empty/unset variant must resolve to the
+    gather-free shear_matmul default (mAP-parity-gated in
+    detection_generalization_{taps,shear}.json), and the env var must
+    still override it back to the exact resampler. Guards against a
+    silent regression of the default that bench.py and the CLI inherit."""
+    from arsvt_tpu.data import augment as aug
+
+    assert aug._WARP_DEFAULT == "shear_matmul"
+    monkeypatch.delenv("ARSVT_WARP_VARIANT", raising=False)
+
+    small = jax.random.uniform(jax.random.PRNGKey(5), (6, 6, 3))
+    img = jax.image.resize(small, (32, 32, 3), "linear")
+    # a rotation: where the approximate resampler visibly differs
+    th = 0.4
+    inv = jnp.array(
+        [[jnp.cos(th), -jnp.sin(th), 4.0], [jnp.sin(th), jnp.cos(th), -2.0]]
+    )
+    default_out = np.asarray(aug._bilinear_warp(img, inv))
+    shear_out = np.asarray(aug._bilinear_warp(img, inv, variant="shear_matmul"))
+    taps_out = np.asarray(aug._bilinear_warp(img, inv, variant="taps"))
+    np.testing.assert_array_equal(default_out, shear_out)
+    assert np.abs(default_out - taps_out).max() > 1e-4
+
+    monkeypatch.setenv("ARSVT_WARP_VARIANT", "taps")
+    env_out = np.asarray(aug._bilinear_warp(img, inv))
+    np.testing.assert_array_equal(env_out, taps_out)
+
+
 def test_affine_p_and_ellipse_box_method():
     """Affine.p: with p=0 nothing changes (image, boxes, mask pass
     through); with the default p=0.5, roughly half of many draws apply.
