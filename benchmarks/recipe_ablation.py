@@ -100,6 +100,12 @@ ABLATIONS: dict[str, tuple[dict, str]] = {
         "normalization wants bigger batches AND the plateau schedule "
         "never fires within the probe budget",
     ),
+    "bs64_lr3e4_25k": (
+        {"batch_size": 64, "learning_rate": 3e-4, "schedule": "cosine"},
+        "the minimal working delta at the reference's own 25k-step "
+        "budget (run with --steps 25000) — the direct counterpart to "
+        "reference_recipe_convergence.json's mAP 0.0013 @ 25k",
+    ),
     # escalation ladder
     "combo_stability": (
         {"grad_clip_norm": 0.1, "w_triplet": 0.0, "attn_dropout": 0.0},
