@@ -847,13 +847,72 @@ _RA_OPS = (_ra_rotate, _ra_posterize, _ra_solarize, _ra_brightness,
            _ra_contrast, _ra_color, _ra_identity)
 
 
+def _ra_rotate_by_deg(image, deg, variant: str | None = None):
+    """Rotate about the image center by `deg` (the warp `_ra_rotate` applies,
+    with the angle passed in instead of sampled)."""
+    h, w, _ = image.shape
+    theta = jnp.deg2rad(deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.eye(3).at[0, 0].set(cos).at[0, 1].set(-sin)
+    rot = rot.at[1, 0].set(sin).at[1, 1].set(cos)
+    center = jnp.eye(3).at[0, 2].set(w / 2.0).at[1, 2].set(h / 2.0)
+    uncenter = jnp.eye(3).at[0, 2].set(-w / 2.0).at[1, 2].set(-h / 2.0)
+    fwd = center @ rot @ uncenter
+    return _bilinear_warp(image, jnp.linalg.inv(fwd), variant=variant)
+
+
+def _ra_sample_deg(key, m):
+    """The angle draw `_ra_rotate` makes from its param key."""
+    return jax.random.uniform(key, (), minval=-1.0, maxval=1.0) * 30.0 * m
+
+
 def rand_augment(key, image, *, num_ops: int = 2, magnitude: float = 0.5,
                  warp_variant: str | None = None):
-    """RandAugment: `num_ops` randomly chosen ops at shared magnitude."""
+    """RandAugment: `num_ops` randomly chosen ops at shared magnitude.
+
+    TPU cost note: this runs vmapped per image, and under `vmap` a
+    `lax.switch` executes EVERY branch and selects — so the naive
+    op-loop pays the full rotate warp (the only non-pointwise op, and
+    ~the entire pipeline cost at 384px) once per round for every image,
+    selected or not. For the default `num_ops=2` we instead emit
+    `P2 ∘ W(θ1+θ2) ∘ P1`, where round r contributes either a pointwise
+    op `Pr` (θr = 0) or a rotation (Pr = identity): bit-identical to the
+    sequential loop whenever ≤1 round draws rotate (48/49 of images;
+    W(0) is an exact identity for every warp variant — tested), and a
+    single-resample of the mathematically identical composed rotation
+    when both rounds draw it (rotations about a shared center compose
+    additively). One warp per image instead of `num_ops`.
+    """
     ops = tuple(
         partial(_ra_rotate, variant=warp_variant) if op is _ra_rotate else op
         for op in _RA_OPS
     )
+    if num_ops == 2:
+        rot_idx = _RA_OPS.index(_ra_rotate)
+        # identical key stream to the sequential loop below
+        key, kop1, kp1 = jax.random.split(key, 3)
+        idx1 = jax.random.randint(kop1, (), 0, len(ops))
+        key, kop2, kp2 = jax.random.split(key, 3)
+        idx2 = jax.random.randint(kop2, (), 0, len(ops))
+        deg = (
+            jnp.where(idx1 == rot_idx, _ra_sample_deg(kp1, magnitude), 0.0)
+            + jnp.where(idx2 == rot_idx, _ra_sample_deg(kp2, magnitude), 0.0)
+        )
+        pointwise = tuple(
+            _ra_identity if op is _ra_rotate else op for op in _RA_OPS
+        )
+
+        def pointwise_switch(idx, kparam, img):
+            branches = [
+                (lambda im, op=op, kp=kparam: op(kp, im, magnitude))
+                for op in pointwise
+            ]
+            return jax.lax.switch(idx, branches, img)
+
+        image = pointwise_switch(idx1, kp1, image)
+        image = _ra_rotate_by_deg(image, deg, variant=warp_variant)
+        image = pointwise_switch(idx2, kp2, image)
+        return image
     for _ in range(num_ops):
         key, kop, kparam = jax.random.split(key, 3)
         idx = jax.random.randint(kop, (), 0, len(ops))

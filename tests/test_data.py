@@ -900,3 +900,61 @@ def test_detection_batches_warns_on_truncated_gt(tmp_path):
         it = detection_batches(ds, batch_size=2, canvas=32, max_objects=1,
                                repeat=False, shuffle=False)
     it.close()
+
+
+def test_rand_augment_fused_matches_sequential_loop():
+    """The num_ops=2 fused path (one warp, pointwise switches) must be
+    numerically identical to the naive sequential op loop except on lanes
+    where BOTH rounds draw rotate (those single-resample the composed
+    rotation instead of resampling twice — p=1/49)."""
+    from functools import partial
+    from arsvt_tpu.data import augment as A
+
+    def sequential(key, image, magnitude):
+        ops = A._RA_OPS
+        for _ in range(2):
+            key, kop, kparam = jax.random.split(key, 3)
+            idx = jax.random.randint(kop, (), 0, len(ops))
+            branches = [
+                (lambda img, op=op, kp=kparam: op(kp, img, magnitude))
+                for op in ops
+            ]
+            image = jax.lax.switch(idx, branches, image)
+        return image
+
+    def drawn_ops(key):
+        key, kop1, _ = jax.random.split(key, 3)
+        key, kop2, _ = jax.random.split(key, 3)
+        n = len(A._RA_OPS)
+        return (int(jax.random.randint(kop1, (), 0, n)),
+                int(jax.random.randint(kop2, (), 0, n)))
+
+    rot = A._RA_OPS.index(A._ra_rotate)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((24, 24, 3), dtype=np.float32))
+    seen_rotate_lane = False
+    for seed in range(40):
+        key = jax.random.PRNGKey(seed)
+        i1, i2 = drawn_ops(key)
+        if i1 == rot and i2 == rot:
+            continue  # composed-rotation lane: deliberate single-resample
+        seen_rotate_lane |= rot in (i1, i2)
+        fused = A.rand_augment(key, img, num_ops=2, magnitude=0.9)
+        ref = sequential(key, img, 0.9)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5,
+                                   err_msg=f"seed={seed} ops=({i1},{i2})")
+    assert seen_rotate_lane  # the interesting case must be covered
+
+
+def test_rand_augment_zero_rotation_is_identity():
+    """W(0) must be an exact identity for every warp variant — the fused
+    RandAugment path relies on it for the no-rotate lanes."""
+    from arsvt_tpu.data import augment as A
+
+    img = jnp.asarray(
+        np.random.default_rng(1).random((32, 32, 3), dtype=np.float32))
+    for variant in ("taps", "flat", "patch", "shear_matmul"):
+        out = A._ra_rotate_by_deg(img, jnp.float32(0.0), variant=variant)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-6, err_msg=variant)
