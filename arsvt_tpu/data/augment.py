@@ -801,16 +801,7 @@ def eval_preprocess(image, size: int = 224):
 
 
 def _ra_rotate(key, image, m, variant: str | None = None):
-    deg = (jax.random.uniform(key, (), minval=-1.0, maxval=1.0)) * 30.0 * m
-    h, w, _ = image.shape
-    theta = jnp.deg2rad(deg)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    rot = jnp.eye(3).at[0, 0].set(cos).at[0, 1].set(-sin)
-    rot = rot.at[1, 0].set(sin).at[1, 1].set(cos)
-    center = jnp.eye(3).at[0, 2].set(w / 2.0).at[1, 2].set(h / 2.0)
-    uncenter = jnp.eye(3).at[0, 2].set(-w / 2.0).at[1, 2].set(-h / 2.0)
-    fwd = center @ rot @ uncenter
-    return _bilinear_warp(image, jnp.linalg.inv(fwd), variant=variant)
+    return _ra_rotate_by_deg(image, _ra_sample_deg(key, m), variant=variant)
 
 
 def _ra_posterize(key, image, m):
