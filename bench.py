@@ -33,6 +33,7 @@ PERFORMANCE.md "data-fed end-to-end throughput".
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -565,9 +566,21 @@ def main():
             log(f"batch512 bench failed: {str(e)[:200]}")
             result["batch512_full_remat_images_per_sec"] = None
         try:
-            result["vit_large_384_images_per_sec"] = round(
-                bench_vit_large(), 1
-            )
+            vitl_ips = round(bench_vit_large(), 1)
+            result["vit_large_384_images_per_sec"] = vitl_ips
+            # config #4's own roofline context (same framing as the
+            # headline's): ceiling from the committed chip calibration at
+            # ViT-L@384 shapes (benchmarks/vitl_roofline.py)
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)),
+                        "vitl_roofline.json")) as f:
+                    vitl_ceiling = json.load(f)[
+                        "chip_roofline_images_per_sec"]
+                result["vit_large_384_pct_of_roofline"] = round(
+                    vitl_ips / vitl_ceiling * 100, 1)
+            except Exception:
+                pass
         except Exception as e:
             log(f"vit_large bench failed: {str(e)[:200]}")
             result["vit_large_384_images_per_sec"] = None
